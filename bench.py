@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark: NBP eval-rollout env-steps/sec on the available accelerator.
+
+Prints ONE JSON line:
+    {"metric": "env_steps_per_sec", "value": N, "unit": "poses/s",
+     "vs_baseline": N / REFERENCE_POSES_PER_SEC}
+
+REFERENCE_POSES_PER_SEC is the reference pipeline's estimated throughput on
+its own hardware (BASELINE.md: the repo publishes no numbers; the reference
+renders 5 PyTorch3D frames + per-candidate host Dijkstra per pose — measured
+runs of comparable PyTorch3D pipelines land near ~0.5 poses/s, used here as
+the provisional denominator until the reference can be timed directly).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+
+REFERENCE_POSES_PER_SEC = 0.5
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--poses", type=int, default=30)
+    ap.add_argument("--warmup-poses", type=int, default=3)
+    ap.add_argument("--difficulty", default="simple")
+    ap.add_argument("--quick", action="store_true",
+                    help="small camera + few poses (CI smoke)")
+    ap.add_argument("--seed", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+
+    from nextbestpath_tpu.assets import generate_scene, pack_generated_scene
+    from nextbestpath_tpu.config import default_params
+    from nextbestpath_tpu.eval import NBPPlanningRollout
+    from nextbestpath_tpu.models import NBP
+    import jax.numpy as jnp
+
+    if args.quick:
+        params = default_params(image_height=64, image_width=114,
+                                points_per_frame=1024,
+                                full_pc_capacity=262144,
+                                n_gt_surface_points=4096)
+        poses = min(args.poses, 10)
+    else:
+        params = default_params()
+        poses = args.poses
+
+    scn = generate_scene(args.difficulty, seed=args.seed)
+    assets = pack_generated_scene(scn, params=params)
+    model = NBP()
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 256, 256, 5)), train=False)
+
+    # Warmup rollout compiles everything.
+    warm = NBPPlanningRollout(assets, model, variables, params=params,
+                              seed=args.seed)
+    warm.run(n_poses=args.warmup_poses, verbose=False)
+
+    rollout = NBPPlanningRollout(assets, model, variables, params=params,
+                                 seed=args.seed + 1)
+    res = rollout.run(n_poses=poses, verbose=False)
+
+    value = res.steps_per_sec
+    print(json.dumps({
+        "metric": "env_steps_per_sec",
+        "value": round(value, 4),
+        "unit": "poses/s",
+        "vs_baseline": round(value / REFERENCE_POSES_PER_SEC, 4),
+    }))
+    # Secondary detail on stderr (not part of the contract line).
+    print(f"# coverage final={res.coverage_evolution[-1]:.4f} "
+          f"auc={res.auc:.4f} points={res.n_points} "
+          f"wall={res.wall_time_s:.1f}s backend={jax.default_backend()}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

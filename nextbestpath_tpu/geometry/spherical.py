@@ -1,0 +1,44 @@
+"""Spherical/cartesian conversions with the reference's elev/azim convention.
+
+Convention (reference macarons/utility/CustomGeometry.py:5-45):
+    x = r * cos(elev) * sin(azim)
+    y = r * sin(elev)
+    z = r * cos(elev) * cos(azim)
+elev in [-pi/2, pi/2], azim measured from +z toward +x.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_DEG = jnp.pi / 180.0
+
+
+def get_cartesian_coords(r, elev, azim, in_degrees: bool = False):
+    """(r, elev, azim) -> (N, 3) cartesian. Inputs broadcastable to (N,)."""
+    f = _DEG if in_degrees else 1.0
+    e = jnp.asarray(elev) * f
+    a = jnp.asarray(azim) * f
+    r = jnp.asarray(r)
+    x = jnp.cos(e) * jnp.sin(a)
+    y = jnp.sin(e)
+    z = jnp.cos(e) * jnp.cos(a)
+    pts = jnp.stack([x, y, z], axis=-1)
+    return (jnp.reshape(r, r.shape + (1,) * (pts.ndim - r.ndim)) * pts).reshape(-1, 3)
+
+
+def get_spherical_coords(X):
+    """(N, 3) cartesian -> (r, elev, azim), radians.
+
+    Matches the clamping behavior of the reference (CustomGeometry.py:27-45):
+    elev clamped to +-pi/2, azim sign follows x.
+    """
+    X = jnp.asarray(X)
+    r = jnp.linalg.norm(X, axis=-1)
+    sin_e = jnp.clip(X[..., 1] / jnp.maximum(r, 1e-12), -1.0, 1.0)
+    elev = jnp.arcsin(sin_e)
+    cos_e = jnp.cos(elev)
+    cos_a = jnp.clip(X[..., 2] / jnp.maximum(r * cos_e, 1e-12), -1.0, 1.0)
+    azim = jnp.arccos(cos_a)
+    azim = jnp.where(X[..., 0] < 0, -azim, azim)
+    return r, elev, azim

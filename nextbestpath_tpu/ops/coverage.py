@@ -1,0 +1,98 @@
+"""Coverage metrics over fixed-capacity point buffers.
+
+Replaces the reference metrics (next_best_path/utility/long_term_utils.py):
+- calculate_coverage_percentage (:457-468): fraction of GT points with a
+  reconstructed point within threshold distance, reconstruction randomly
+  subsampled to weight * len(GT) points,
+- compute_auc (:488-490): trapezoid + half-first-sample, dx = 1/40.
+
+The O(G*S) min-distance is evaluated as chunked MXU matmuls
+(||a-b||^2 = ||a||^2 + ||b||^2 - 2ab) with forced f32 precision and centered
+coordinates (bf16 or uncentered f32 would lose the ~1.0 threshold at scene
+scales of ~1e2).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_F32 = jax.lax.Precision.HIGHEST
+_BIG = jnp.float32(1e30)
+
+
+def subsample_buffer(key: jax.Array, count: jnp.ndarray, capacity: int,
+                     n_sample: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Random subset (without replacement) of the valid prefix of a buffer.
+
+    Returns (indices (n_sample,), valid (n_sample,)). When count <= n_sample
+    every valid slot is selected exactly once (matching the reference's
+    random_sample_pc which returns the full cloud when small,
+    long_term_utils.py:434-443).
+    """
+    slots = jnp.arange(capacity)
+    scores = jax.random.uniform(key, (capacity,))
+    scores = jnp.where(slots < count, scores, 2.0)  # invalid slots last
+    idx = jnp.argsort(scores)[:n_sample]
+    valid = idx < count
+    return idx, valid
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def masked_min_dists(gt: jnp.ndarray, pts: jnp.ndarray, pts_valid: jnp.ndarray,
+                     chunk: int = 2048) -> jnp.ndarray:
+    """Min Euclidean distance from each GT point to the valid pts. (G,)."""
+    center = jnp.mean(gt, axis=0)
+    g = gt - center
+    p = pts - center
+    g2 = jnp.sum(g * g, axis=-1)
+    n_chunks = p.shape[0] // chunk
+    assert n_chunks * chunk == p.shape[0], "pts length must be chunk-divisible"
+
+    def body(carry, inp):
+        best = carry
+        pc, vc = inp
+        p2 = jnp.sum(pc * pc, axis=-1)
+        cross = jnp.matmul(g, pc.T, precision=_F32)
+        d2 = g2[:, None] + p2[None, :] - 2.0 * cross
+        d2 = jnp.where(vc[None, :], d2, _BIG)
+        return jnp.minimum(best, jnp.min(d2, axis=-1)), None
+
+    p_chunks = p.reshape(n_chunks, chunk, 3)
+    v_chunks = pts_valid.reshape(n_chunks, chunk)
+    best, _ = jax.lax.scan(body, jnp.full(g.shape[0], _BIG), (p_chunks, v_chunks))
+    return jnp.sqrt(jnp.maximum(best, 0.0))
+
+
+def coverage_percentage(gt: jnp.ndarray, pts: jnp.ndarray, count: jnp.ndarray,
+                        key: jax.Array, threshold: float = 1.0,
+                        weight: int = 2,
+                        gt_valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """calculate_coverage_percentage over a fixed-capacity buffer.
+
+    gt: (G, 3); pts: (C, 3) buffer with `count` valid rows. Returns a scalar
+    in [0, 1]; 0 when count == 0 (reference behavior).
+    """
+    g_count = gt.shape[0] if gt_valid is None else jnp.sum(gt_valid)
+    n_sample = int(gt.shape[0]) * weight
+    # Round up to a chunk multiple for the scan.
+    chunk = 2048
+    n_sample = ((n_sample + chunk - 1) // chunk) * chunk
+    idx, valid = subsample_buffer(key, count, pts.shape[0], n_sample)
+    sampled = pts[idx]
+    dmin = masked_min_dists(gt, sampled, valid, chunk=chunk)
+    close = (dmin < threshold).astype(jnp.float32)
+    if gt_valid is not None:
+        close = close * gt_valid
+    cov = jnp.sum(close) / jnp.maximum(g_count, 1)
+    return jnp.where(count > 0, cov, 0.0)
+
+
+def compute_auc(y: np.ndarray, dx: float = 1.0 / 40.0) -> float:
+    """Trapezoid AUC + half-first-sample (long_term_utils.py:488-490)."""
+    y = np.asarray(y, dtype=np.float64)
+    return float(np.trapz(y, dx=dx) + y[0] * dx / 2.0)

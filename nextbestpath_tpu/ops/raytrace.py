@@ -1,0 +1,294 @@
+"""Ray-triangle geometry core (Pallas TPU kernel + pure-JAX reference).
+
+One kernel replaces three native dependencies of the reference:
+
+1. the PyTorch3D mesh rasterizer (``MeshRasterizer`` + ``capture_image``,
+   macarons/utility/macarons_utils.py:875-937,2743-2786) — depth rendering,
+2. trimesh segment-vs-mesh collision (``line_segment_mesh_intersection``,
+   macarons_utils.py:120-151),
+3. trimesh odd-parity inside tests (``check_camera_in_mesh``,
+   next_best_path/utility/long_term_utils.py:158-170).
+
+Semantics: Möller–Trumbore, double-sided (the reference neither culls
+backfaces nor does trimesh), intersection parameter *t* measured along the
+**unnormalized** ray direction. For depth rendering, rays are built in view
+space with d_z == 1 so *t* is the view-space z — exactly the meaning of
+PyTorch3D's ``fragments.zbuf`` (MeshRasterizer replaces NDC z with view z).
+Background pixels get zbuf = -1 like PyTorch3D.
+
+Layout: triangles as a (9, F) SoA array (v0, e1, e2 components along lanes);
+the kernel tiles rays into blocks of ``RAY_BLOCK`` sublanes and loops over
+triangle chunks of ``TRI_CHUNK`` lanes with a dynamic trip count, so frustum
+culling shrinks work without changing shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..geometry.cameras import CameraIntrinsics, camera_center
+
+RAY_BLOCK = 512
+TRI_CHUNK = 512
+_DET_EPS = 1e-10
+_INF = 3.4e38  # plain float: jnp scalars would be captured as kernel consts
+
+
+def tris_to_soa(tris: jnp.ndarray) -> jnp.ndarray:
+    """(F, 3, 3) triangles -> (9, F) SoA of (v0, e1=v1-v0, e2=v2-v0)."""
+    v0 = tris[:, 0]
+    e1 = tris[:, 1] - tris[:, 0]
+    e2 = tris[:, 2] - tris[:, 0]
+    return jnp.concatenate([v0.T, e1.T, e2.T], axis=0).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Pure-JAX reference implementation (golden model for the kernel; also the
+# CPU fallback used in tests).
+# ---------------------------------------------------------------------------
+
+
+def _moller_trumbore(o, d, v0, e1, e2):
+    """Batched intersection. o/d: (N, 1, 3); v0/e1/e2: (1, F, 3).
+
+    Returns (t, hit) of shape (N, F): t along unnormalized d; hit boolean
+    for u, v in the triangle and t > 0 handled by the caller.
+    """
+    p = jnp.cross(d, e2)  # (N, F, 3)
+    det = jnp.sum(e1 * p, axis=-1)  # (N, F)
+    s = o - v0
+    u = jnp.sum(s * p, axis=-1)
+    q = jnp.cross(s, e1)
+    v = jnp.sum(d * q, axis=-1)
+    t_scaled = jnp.sum(e2 * q, axis=-1)
+    sign = jnp.sign(det)
+    abs_det = jnp.abs(det)
+    valid = abs_det > _DET_EPS
+    u_s = u * sign
+    v_s = v * sign
+    inside = (u_s >= 0) & (v_s >= 0) & (u_s + v_s <= abs_det)
+    t = t_scaled / jnp.where(valid, det, 1.0)
+    return t, valid & inside
+
+
+def ray_hits_ref(origins: jnp.ndarray, dirs: jnp.ndarray, tris: jnp.ndarray,
+                 t_min: float = 1e-4, t_max: float = float(_INF)
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Reference implementation over dense (F, 3, 3) triangles.
+
+    Returns (t_nearest (N,), n_hits (N,)); t_nearest = +inf when no hit in
+    (t_min, t_max).
+    """
+    o = origins[:, None, :]
+    d = dirs[:, None, :]
+    v0 = tris[None, :, 0, :]
+    e1 = (tris[:, 1] - tris[:, 0])[None]
+    e2 = (tris[:, 2] - tris[:, 0])[None]
+    t, hit = _moller_trumbore(o, d, v0, e1, e2)
+    in_range = hit & (t > t_min) & (t < t_max)
+    t_near = jnp.min(jnp.where(in_range, t, _INF), axis=-1)
+    n_hits = jnp.sum(in_range, axis=-1).astype(jnp.int32)
+    return t_near, n_hits
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def _ray_kernel(n_chunks_ref, o_ref, d_ref, tri_ref, tmin_ref, tmax_ref,
+                t_out_ref, cnt_out_ref):
+    """One program handles RAY_BLOCK rays vs all triangle chunks."""
+    ox = o_ref[:, 0:1]
+    oy = o_ref[:, 1:2]
+    oz = o_ref[:, 2:3]
+    dx = d_ref[:, 0:1]
+    dy = d_ref[:, 1:2]
+    dz = d_ref[:, 2:3]
+    t_min = tmin_ref[0]
+    t_max = tmax_ref[0]
+
+    def body(c, carry):
+        t_best, n_hits = carry
+        base = c * TRI_CHUNK
+        v0x = tri_ref[0:1, pl.ds(base, TRI_CHUNK)]
+        v0y = tri_ref[1:2, pl.ds(base, TRI_CHUNK)]
+        v0z = tri_ref[2:3, pl.ds(base, TRI_CHUNK)]
+        e1x = tri_ref[3:4, pl.ds(base, TRI_CHUNK)]
+        e1y = tri_ref[4:5, pl.ds(base, TRI_CHUNK)]
+        e1z = tri_ref[5:6, pl.ds(base, TRI_CHUNK)]
+        e2x = tri_ref[6:7, pl.ds(base, TRI_CHUNK)]
+        e2y = tri_ref[7:8, pl.ds(base, TRI_CHUNK)]
+        e2z = tri_ref[8:9, pl.ds(base, TRI_CHUNK)]
+
+        # p = cross(d, e2): (R, C)
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        sx = ox - v0x
+        sy = oy - v0y
+        sz = oz - v0z
+        u = sx * px + sy * py + sz * pz
+        # q = cross(s, e1)
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = dx * qx + dy * qy + dz * qz
+        t_scaled = e2x * qx + e2y * qy + e2z * qz
+
+        sign = jnp.sign(det)
+        abs_det = jnp.abs(det)
+        u_s = u * sign
+        v_s = v * sign
+        inside = (abs_det > _DET_EPS) & (u_s >= 0) & (v_s >= 0) & (u_s + v_s <= abs_det)
+        t = t_scaled / jnp.where(abs_det > _DET_EPS, det, 1.0)
+        ok = inside & (t > t_min) & (t < t_max)
+        t_best = jnp.minimum(t_best, jnp.min(jnp.where(ok, t, _INF), axis=1,
+                                             keepdims=True))
+        n_hits = n_hits + jnp.sum(ok.astype(jnp.int32), axis=1, keepdims=True)
+        return t_best, n_hits
+
+    t0 = jnp.full((RAY_BLOCK, 1), _INF, jnp.float32)
+    c0 = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
+    t_best, n_hits = jax.lax.fori_loop(0, n_chunks_ref[0], body, (t0, c0))
+    t_out_ref[:, :] = t_best
+    cnt_out_ref[:, :] = n_hits
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _ray_hits_pallas(origins, dirs, tri_soa, n_tris, t_min, t_max,
+                     interpret: bool):
+    n_rays = origins.shape[0]
+    n_blocks = pl.cdiv(n_rays, RAY_BLOCK)
+    pad = n_blocks * RAY_BLOCK - n_rays
+    if pad:
+        origins = jnp.pad(origins, ((0, pad), (0, 0)))
+        dirs = jnp.pad(dirs, ((0, pad), (0, 0)), constant_values=1.0)
+    f = tri_soa.shape[1]
+    f_pad = pl.cdiv(f, TRI_CHUNK) * TRI_CHUNK - f
+    if f_pad:
+        tri_soa = jnp.pad(tri_soa, ((0, 0), (0, f_pad)))
+    n_chunks = jnp.asarray([pl.cdiv(n_tris, TRI_CHUNK)], jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((RAY_BLOCK, 3), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, 3), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # full tri_soa
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((RAY_BLOCK, 1), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, 1), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    t_out, cnt = pl.pallas_call(
+        _ray_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks * RAY_BLOCK, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks * RAY_BLOCK, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(n_chunks, origins.astype(jnp.float32), dirs.astype(jnp.float32),
+      tri_soa, jnp.asarray([t_min], jnp.float32), jnp.asarray([t_max], jnp.float32))
+    return t_out[:n_rays, 0], cnt[:n_rays, 0]
+
+
+def ray_hits(origins: jnp.ndarray, dirs: jnp.ndarray, tri_soa: jnp.ndarray,
+             n_tris, t_min: float = 1e-4, t_max: float = float(_INF),
+             interpret: Optional[bool] = None):
+    """Nearest-hit t (+inf if none) and hit count per ray.
+
+    origins/dirs: (N, 3); tri_soa: (9, F) from tris_to_soa; n_tris: valid
+    triangle count (traced or static).
+    """
+    if interpret is None:
+        interpret = _use_interpret()
+    return _ray_hits_pallas(
+        origins, dirs, tri_soa,
+        jnp.asarray(n_tris, jnp.int32),
+        jnp.float32(t_min), jnp.float32(t_max), interpret,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Entry points
+# ---------------------------------------------------------------------------
+
+
+def render_depth(tri_soa: jnp.ndarray, n_tris, R: jnp.ndarray, T: jnp.ndarray,
+                 intr: CameraIntrinsics,
+                 interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Depth frame (H, W) of view-space z; background = -1.
+
+    Equivalent of PyTorch3D rasterization in Camera.capture_image
+    (macarons_utils.py:2743-2786): faces_per_pixel=1, zbuf = nearest view z,
+    no hit -> -1. Hits closer than intr.znear or beyond intr.zfar are
+    ignored (PyTorch3D clips faces at znear).
+    """
+    eye = camera_center(R, T)
+    d_view = intr.pixel_ray_dirs_view().reshape(-1, 3)
+    d_world = jnp.matmul(d_view, R.T, precision=jax.lax.Precision.HIGHEST)
+    origins = jnp.broadcast_to(eye, d_world.shape)
+    t, _ = ray_hits(origins, d_world, tri_soa, n_tris,
+                    t_min=float(intr.znear), t_max=float(intr.zfar),
+                    interpret=interpret)
+    zbuf = jnp.where(t < _INF, t, -1.0)
+    return zbuf.reshape(intr.image_height, intr.image_width)
+
+
+def segments_hit_mesh(starts: jnp.ndarray, ends: jnp.ndarray,
+                      tri_soa: jnp.ndarray, n_tris,
+                      interpret: Optional[bool] = None) -> jnp.ndarray:
+    """True where the open segment (start, end) intersects the mesh.
+
+    Matches line_segment_mesh_intersection (macarons_utils.py:120-151):
+    any intersection strictly closer than the segment length.
+    """
+    d = ends - starts
+    t, _ = ray_hits(starts, d, tri_soa, n_tris, t_min=1e-6, t_max=1.0,
+                    interpret=interpret)
+    return t < 1.0
+
+
+def points_inside_mesh(points: jnp.ndarray, tri_soa: jnp.ndarray, n_tris,
+                       interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Odd-parity inside test along +y, +x and +z.
+
+    Matches check_camera_in_mesh (long_term_utils.py:158-170): the point is
+    'inside' iff the hit count is odd along all three axis rays. The rays are
+    tilted by a tiny fixed jitter so that axis-aligned scene edges (ubiquitous
+    in Doom-style meshes) are not hit exactly on a shared triangle edge,
+    which would double-count and flip the parity.
+    """
+    n = points.shape[0]
+    axes = jnp.asarray(
+        [[3e-4, 1.0, 7e-4], [1.0, 3e-4, 7e-4], [7e-4, 3e-4, 1.0]],
+        jnp.float32,
+    )
+    origins = jnp.tile(points, (3, 1))
+    dirs = jnp.repeat(axes, n, axis=0)
+    _, cnt = ray_hits(origins, dirs, tri_soa, n_tris, t_min=1e-6,
+                      interpret=interpret)
+    odd = (cnt % 2) == 1
+    return odd[:n] & odd[n:2 * n] & odd[2 * n:]

@@ -1,0 +1,112 @@
+"""Egocentric 2D projection ops for the NBP model inputs.
+
+Replaces the reference's mapping ops (next_best_path/utility/utils.py):
+- transform_points_to_n_pieces (:166-196): world -> egocentric frame
+  (translation only; azimuth forced to 0 via no_rotation=True), 2D output
+  coordinates (-dz, -dx),
+- get_point_position_in_the_img (:160-164) and map_points_to_n_imgs
+  (:198-223): round + scale into an image grid, scatter-accumulate counts,
+- the y-axis height binning via torch.bucketize (nbp_planning.py:114-115).
+
+All ops take fixed-capacity point buffers with validity masks.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def ego2d(points: jnp.ndarray, cam_xyz: jnp.ndarray) -> jnp.ndarray:
+    """World points (N, 3) -> egocentric 2D (N, 2) = (-(z-zc), -(x-xc)).
+
+    Reference transform_points_to_n_pieces with no_rotation=True
+    (utils.py:166-196): R = I, cP = p - cam, output rows (-cP_z, -cP_x).
+    """
+    d = points - cam_xyz[None, :]
+    return jnp.stack([-d[:, 2], -d[:, 0]], axis=-1)
+
+
+def img_coords(points_2d: jnp.ndarray, grid_size: int,
+               grid_range: Tuple[float, float]) -> jnp.ndarray:
+    """2D coords -> integer pixel (row=x_mapped, col=y_mapped), int32 (N, 2).
+
+    scale = grid_size / (hi - lo); index = round((p - lo) * scale)
+    (utils.py:160-164, 198-223).
+    """
+    lo, hi = grid_range
+    scale = grid_size / (hi - lo)
+    return jnp.round((points_2d - lo) * scale).astype(jnp.int32)
+
+
+def scatter_count_img(points_2d: jnp.ndarray, valid: jnp.ndarray,
+                      grid_size: int, grid_range: Tuple[float, float]
+                      ) -> jnp.ndarray:
+    """Scatter-accumulate point counts into a (grid_size, grid_size) image.
+
+    Equivalent to map_points_to_n_imgs for a single batch (utils.py:198-223):
+    out-of-range points are dropped.
+    """
+    ij = img_coords(points_2d, grid_size, grid_range)
+    ok = (
+        valid
+        & (ij[:, 0] >= 0) & (ij[:, 0] < grid_size)
+        & (ij[:, 1] >= 0) & (ij[:, 1] < grid_size)
+    )
+    ij = jnp.clip(ij, 0, grid_size - 1)
+    img = jnp.zeros((grid_size, grid_size), jnp.float32)
+    return img.at[ij[:, 0], ij[:, 1]].add(ok.astype(jnp.float32))
+
+
+def height_bins(verts_min_y: jnp.ndarray, verts_max_y: jnp.ndarray,
+                n_pieces: int = 4) -> jnp.ndarray:
+    """y_bins boundaries, (n_pieces + 1,).
+
+    Reference (nbp_utils.py:506-513): min_y = verts.min+0.5,
+    max_y = verts.max-0.5, bin_width = (max-min)/n, bins = arange(min, max+w, w).
+    """
+    min_y = verts_min_y + 0.5
+    max_y = verts_max_y - 0.5
+    w = (max_y - min_y) / n_pieces
+    return min_y + w * jnp.arange(n_pieces + 1, dtype=jnp.float32)
+
+
+def bucketize_bins(y: jnp.ndarray, y_bins: jnp.ndarray) -> jnp.ndarray:
+    """torch.bucketize(y, y_bins[:-1]) - 1 (nbp_planning.py:114).
+
+    torch.bucketize with right=False == searchsorted(side='left').
+    Result -1 means 'below the first boundary' (dropped by the caller).
+    """
+    return jnp.searchsorted(y_bins[:-1], y, side="left").astype(jnp.int32) - 1
+
+
+def binned_count_imgs(points: jnp.ndarray, valid: jnp.ndarray,
+                      cam_xyz: jnp.ndarray, y_bins: jnp.ndarray,
+                      n_pieces: int, grid_size: int,
+                      grid_range: Tuple[float, float]) -> jnp.ndarray:
+    """(n_pieces, S, S) count images of a point buffer split by height bin.
+
+    Fuses the reference's per-bin Python loop (nbp_planning.py:113-125) into
+    one scatter.
+    """
+    p2 = ego2d(points, cam_xyz)
+    ij = img_coords(p2, grid_size, grid_range)
+    b = bucketize_bins(points[:, 1], y_bins)
+    ok = (
+        valid
+        & (b >= 0) & (b < n_pieces)
+        & (ij[:, 0] >= 0) & (ij[:, 0] < grid_size)
+        & (ij[:, 1] >= 0) & (ij[:, 1] < grid_size)
+    )
+    b = jnp.clip(b, 0, n_pieces - 1)
+    ij = jnp.clip(ij, 0, grid_size - 1)
+    out = jnp.zeros((n_pieces, grid_size, grid_size), jnp.float32)
+    return out.at[b, ij[:, 0], ij[:, 1]].add(ok.astype(jnp.float32))
+
+
+def count_img(points: jnp.ndarray, valid: jnp.ndarray, cam_xyz: jnp.ndarray,
+              grid_size: int, grid_range: Tuple[float, float]) -> jnp.ndarray:
+    """Single count image of a 3D point buffer (no height split)."""
+    return scatter_count_img(ego2d(points, cam_xyz), valid, grid_size, grid_range)

@@ -1,0 +1,215 @@
+"""Shortest paths on the camera pose lattice, fully vectorized.
+
+The reference runs a host heapq Dijkstra *per candidate goal* until one
+succeeds (generate_Dijkstra_path, long_term_utils.py:334-433, called in a
+loop at nbp_planning.py:235-249). Edges have unit cost on a 4-connected
+(i_l, i_h) grid, so a single jitted Bellman–Ford sweep produces the distance
+field from the start to *every* node at once; candidate selection and path
+extraction become masked gathers. Path semantics (unit costs, neighbor order
++x, -x, +z, -z for tie-breaking) match the reference.
+
+Edge state memos replicate the planner's collision/passable lists
+(nbp_planning.py:143-155, 49-52): 0 = unknown (use the layout-image
+Bresenham test), 1 = known passable, 2 = known collision.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.scatter2d import ego2d, img_coords
+from .bresenham import bresenham_obstacle_count_v
+
+INF = jnp.int32(2**20)
+
+# Direction order matters for tie-breaking parity with the reference's
+# potential_neighbors list: [x+1, x-1, z+1, z-1] (long_term_utils.py:341-345).
+DIRS = ((1, 0), (-1, 0), (0, 1), (0, -1))
+
+EDGE_UNKNOWN = 0
+EDGE_PASSABLE = 1
+EDGE_COLLISION = 2
+
+
+def lattice_positions(pose_origin: jnp.ndarray, L: int, H: int) -> jnp.ndarray:
+    """(L, H, 3) world positions of the pose lattice (spacing 3)."""
+    il = jnp.arange(L, dtype=jnp.float32)
+    ih = jnp.arange(H, dtype=jnp.float32)
+    x = pose_origin[0] + 3.0 * il[:, None]
+    z = pose_origin[2] + 3.0 * ih[None, :]
+    y = jnp.full((L, H), pose_origin[1])
+    return jnp.stack([jnp.broadcast_to(x, (L, H)), y,
+                      jnp.broadcast_to(z, (L, H))], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("L", "H", "layout_size"))
+def layout_edge_blocked(positions: jnp.ndarray, cam_xyz: jnp.ndarray,
+                        layout_image: jnp.ndarray, L: int, H: int,
+                        layout_size: int = 256,
+                        grid_range: Tuple[float, float] = (-40.0, 40.0)
+                        ) -> jnp.ndarray:
+    """(4, L, H) edge-blocked mask from the fused layout image.
+
+    Edge d at (i, j) connects (i, j) -> (i, j) + DIRS[d]. Blocked when either
+    endpoint projects outside the layout image or the Bresenham line crosses
+    >= 2 obstacle pixels (line_across_image_pixel, long_term_utils.py:300-331).
+    """
+    p2 = ego2d(positions.reshape(-1, 3), cam_xyz)
+    px = img_coords(p2, layout_size, grid_range).reshape(L, H, 2)
+    in_img = (
+        (px[..., 0] >= 0) & (px[..., 0] < layout_size)
+        & (px[..., 1] >= 0) & (px[..., 1] < layout_size)
+    )
+
+    blocked = []
+    for (dl, dh) in DIRS:
+        src = px
+        dst = jnp.roll(px, shift=(-dl, -dh), axis=(0, 1))
+        dst_in = jnp.roll(in_img, shift=(-dl, -dh), axis=(0, 1))
+        flat_src = src.reshape(-1, 2)
+        flat_dst = dst.reshape(-1, 2)
+        count = bresenham_obstacle_count_v(
+            jnp.clip(flat_src[:, 0], 0, layout_size - 1),
+            jnp.clip(flat_src[:, 1], 0, layout_size - 1),
+            jnp.clip(flat_dst[:, 0], 0, layout_size - 1),
+            jnp.clip(flat_dst[:, 1], 0, layout_size - 1),
+            layout_image,
+        ).reshape(L, H)
+        b = (~in_img) | (~dst_in) | (count >= 2)
+        # Edges leaving the grid are blocked.
+        il = jnp.arange(L)[:, None]
+        ih = jnp.arange(H)[None, :]
+        off_grid = ((il + dl < 0) | (il + dl >= L) | (ih + dh < 0) | (ih + dh >= H))
+        blocked.append(b | off_grid)
+    return jnp.stack(blocked)
+
+
+def apply_edge_memo(layout_blocked: jnp.ndarray, edge_memo: jnp.ndarray
+                    ) -> jnp.ndarray:
+    """Combine the layout test with planner memos (passable overrides the
+    layout test; collision blocks unconditionally)."""
+    return jnp.where(
+        edge_memo == EDGE_PASSABLE, False,
+        jnp.where(edge_memo == EDGE_COLLISION, True, layout_blocked),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("L", "H"))
+def bfs_distance_field(blocked: jnp.ndarray, start_lh: jnp.ndarray,
+                       L: int, H: int) -> jnp.ndarray:
+    """(L, H) unit-cost shortest-path distances from start (INF unreachable).
+
+    blocked: (4, L, H), blocked[d, i, j] == edge (i,j) -> (i,j)+DIRS[d]
+    impassable. Bellman–Ford over L+H sweeps (grid diameter bound).
+    """
+    il = jnp.arange(L)[:, None]
+    ih = jnp.arange(H)[None, :]
+    dist0 = jnp.where((il == start_lh[0]) & (ih == start_lh[1]), 0, INF)
+
+    def sweep(dist, _):
+        best = dist
+        for d, (dl, dh) in enumerate(DIRS):
+            # Incoming edge to (i, j) from src = (i, j) - DIRS[d] uses
+            # blocked[d] evaluated at the source node. jnp.roll wraps, so
+            # explicitly invalidate entries whose source is off-grid.
+            src_dist = jnp.roll(dist, shift=(dl, dh), axis=(0, 1))
+            src_blocked = jnp.roll(blocked[d], shift=(dl, dh), axis=(0, 1))
+            src_off = ((il - dl < 0) | (il - dl >= L)
+                       | (ih - dh < 0) | (ih - dh >= H))
+            cand = jnp.where(src_blocked | src_off, INF, src_dist + 1)
+            best = jnp.minimum(best, cand)
+        return best, None
+
+    dist, _ = jax.lax.scan(sweep, dist0, None, length=L + H)
+    return dist
+
+
+@functools.partial(jax.jit, static_argnames=("L", "H", "max_len"))
+def extract_path(dist: jnp.ndarray, blocked: jnp.ndarray,
+                 goal_lh: jnp.ndarray, L: int, H: int,
+                 max_len: int = 96) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Walk from goal back to start along decreasing distances.
+
+    Returns (path (max_len, 2) start->goal EXCLUDING the start node — the
+    reference returns real_move_path[1:] — , path_len scalar, reachable bool).
+    Neighbor preference follows DIRS order for reference-style tie-breaking.
+    """
+    goal_dist = dist[goal_lh[0], goal_lh[1]]
+    reachable = goal_dist < INF
+
+    def body(carry, _):
+        node, d = carry
+        best_node = node
+        found = jnp.bool_(False)
+        for k, (dl, dh) in enumerate(DIRS):
+            # Predecessor candidate: node - DIRS[k]; edge k goes pred -> node.
+            pl = node[0] - dl
+            ph = node[1] - dh
+            ok_bounds = (pl >= 0) & (pl < L) & (ph >= 0) & (ph < H)
+            plc = jnp.clip(pl, 0, L - 1)
+            phc = jnp.clip(ph, 0, H - 1)
+            pred_d = dist[plc, phc]
+            edge_ok = ~blocked[k, plc, phc]
+            good = ok_bounds & edge_ok & (pred_d == d - 1) & (~found) & (d > 0)
+            best_node = jnp.where(good, jnp.stack([plc, phc]), best_node)
+            found = found | good
+        return (best_node, jnp.maximum(d - 1, 0)), node
+
+    (_, _), rev_nodes = jax.lax.scan(
+        body, (goal_lh, goal_dist), None, length=max_len
+    )
+    # rev_nodes[0] == goal, walking backwards. Re-order to start -> goal and
+    # drop everything past the path length.
+    path_len = jnp.minimum(goal_dist, max_len)
+    idx = path_len - 1 - jnp.arange(max_len)
+    idx_c = jnp.clip(idx, 0, max_len - 1)
+    path = rev_nodes[idx_c]
+    valid = idx >= 0
+    path = jnp.where(valid[:, None], path, -1)
+    return path, path_len, reachable
+
+
+@functools.partial(jax.jit, static_argnames=("n_azim",))
+def pick_orientations(path: jnp.ndarray, path_valid: jnp.ndarray,
+                      value_map: jnp.ndarray, positions: jnp.ndarray,
+                      cam_xyz: jnp.ndarray, visited_rot: jnp.ndarray,
+                      key: jax.Array, n_azim: int = 8,
+                      value_map_size: int = 64,
+                      grid_range: Tuple[float, float] = (-40.0, 40.0)
+                      ) -> jnp.ndarray:
+    """Per-waypoint orientation pick (long_term_utils.py:396-413).
+
+    value_map: (S, S, n_azim) NHWC value prediction. For waypoints projecting
+    inside the value map: orientations sorted by predicted gain descending,
+    first not-yet-visited (pos, rot) wins (fallback: best). Outside: a random
+    unvisited orientation.
+    """
+    wp_pos = positions[jnp.clip(path[:, 0], 0, positions.shape[0] - 1),
+                       jnp.clip(path[:, 1], 0, positions.shape[1] - 1)]
+    p2 = ego2d(wp_pos, cam_xyz)
+    pix = img_coords(p2, value_map_size, grid_range)
+    in_map = (
+        (pix[:, 0] >= 0) & (pix[:, 0] < value_map_size)
+        & (pix[:, 1] >= 0) & (pix[:, 1] < value_map_size)
+    )
+    pixc = jnp.clip(pix, 0, value_map_size - 1)
+    gains = value_map[pixc[:, 0], pixc[:, 1], :]  # (P, n_azim)
+    visited = visited_rot[jnp.clip(path[:, 0], 0, visited_rot.shape[0] - 1),
+                          jnp.clip(path[:, 1], 0, visited_rot.shape[1] - 1), :]
+
+    order = jnp.argsort(-gains, axis=-1)
+    ranked_visited = jnp.take_along_axis(visited, order, axis=-1)
+    first_free = jnp.argmax(~ranked_visited, axis=-1)
+    any_free = jnp.any(~ranked_visited, axis=-1)
+    best_rot = jnp.take_along_axis(
+        order, jnp.where(any_free, first_free, 0)[:, None], axis=-1
+    )[:, 0]
+
+    rand_scores = jax.random.uniform(key, visited.shape) + visited * 10.0
+    rand_rot = jnp.argmin(rand_scores, axis=-1)
+    rot = jnp.where(in_map, best_rot, rand_rot)
+    return jnp.where(path_valid, rot, 0).astype(jnp.int32)

@@ -1,0 +1,133 @@
+"""Rollout state and the move/capture stage shared by training collection
+and evaluation.
+
+Replaces the reference's Camera.update_camera + capture_image +
+load_images_for_depth_model + compute_partial_point_cloud chain
+(macarons_utils.py:2590-2847, 964-1004): per pose, the camera linearly
+interpolates over n_interpolation_steps substeps (with azimuth wraparound,
+:2616-2632), renders a depth frame at each substep, and each frame's points
+are backprojected and appended to the accumulated cloud. The reference also
+re-processes the final frame of the move at the start of the next pose
+(nbp_planning.py:64-110), so each pose contributes 5 frame batches; we
+reproduce that.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.cameras import CameraIntrinsics
+from ..ops.raytrace import render_depth
+from .sensor import FramePoints, PointBuffer, backproject_sample, capture_depth
+
+
+class TrajectoryBuffer(NamedTuple):
+    """Fixed-capacity history of interpolated camera positions
+    (the reference's X_cam_history, macarons_utils.py:2262-2264)."""
+
+    xyz: jnp.ndarray    # (C, 3)
+    count: jnp.ndarray  # scalar int32
+
+    @staticmethod
+    def create(capacity: int) -> "TrajectoryBuffer":
+        return TrajectoryBuffer(jnp.zeros((capacity, 3), jnp.float32),
+                                jnp.zeros((), jnp.int32))
+
+    def append(self, pos: jnp.ndarray) -> "TrajectoryBuffer":
+        cap = self.xyz.shape[0]
+        slot = jnp.minimum(self.count, cap - 1)
+        return TrajectoryBuffer(self.xyz.at[slot].set(pos),
+                                jnp.minimum(self.count + 1, cap))
+
+    def valid_mask(self) -> jnp.ndarray:
+        return jnp.arange(self.xyz.shape[0]) < self.count
+
+
+def interpolate_pose(old_pose5: jnp.ndarray, new_pose5: jnp.ndarray,
+                     step: jnp.ndarray, n_steps: int,
+                     n_azim: int) -> jnp.ndarray:
+    """Linear pose interpolation with azimuth wraparound.
+
+    Reference update_camera (macarons_utils.py:2616-2632): when moving
+    between azimuth indices 0 and n_azim-1 the interpolation goes the short
+    way around (offset +-360 on intermediate steps only).
+    """
+    frac = step.astype(jnp.float32) / n_steps
+    pose = old_pose5 + (new_pose5 - old_pose5) * frac
+    azim_step = 360.0 / n_azim
+    old_a = old_pose5[4]
+    new_a = new_pose5[4]
+    wrap_hi = (old_a < azim_step / 2.0) & (new_a > 360.0 - 1.5 * azim_step)
+    wrap_lo = (new_a < azim_step / 2.0) & (old_a > 360.0 - 1.5 * azim_step)
+    offset = jnp.where(wrap_hi, -360.0, jnp.where(wrap_lo, 360.0, 0.0))
+    is_final = step == n_steps
+    offset = jnp.where(is_final, 0.0, offset)
+    azim = old_a + (new_a + offset - old_a) * frac
+    azim = jnp.where(is_final, new_a, azim)
+    return pose.at[4].set(azim)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("intr", "n_steps", "n_azim", "n_slots", "interpret"),
+)
+def move_and_capture(
+    tri_soa: jnp.ndarray,
+    n_tris: jnp.ndarray,
+    old_pose5: jnp.ndarray,
+    new_pose5: jnp.ndarray,
+    pc: PointBuffer,
+    traj: TrajectoryBuffer,
+    key: jax.Array,
+    intr: CameraIntrinsics,
+    n_steps: int = 4,
+    n_azim: int = 8,
+    n_slots: int = 6144,
+    gathering_factor: float = 0.05,
+    sensor_range: float = 70.0,
+    interpret: Optional[bool] = None,
+) -> Tuple[PointBuffer, TrajectoryBuffer, jnp.ndarray]:
+    """Execute one lattice move: n_steps interpolation frames, each rendered,
+    backprojected, subsampled, and appended. Returns (pc, traj, last_zbuf)."""
+    last_zbuf = jnp.zeros((intr.image_height, intr.image_width), jnp.float32)
+    for s in range(1, n_steps + 1):
+        pose = interpolate_pose(old_pose5, new_pose5, jnp.int32(s), n_steps,
+                                n_azim)
+        zbuf, R, T = capture_depth(tri_soa, n_tris, pose, intr)
+        sub = jax.random.fold_in(key, s)
+        batch = backproject_sample(
+            zbuf, R, T, intr, sub, n_slots,
+            gathering_factor=gathering_factor, sensor_range=sensor_range,
+        )
+        pc = pc.append(batch)
+        traj = traj.append(pose[:3])
+        last_zbuf = zbuf
+    return pc, traj, last_zbuf
+
+
+@functools.partial(jax.jit, static_argnames=("intr", "n_slots", "interpret"))
+def observe_current(
+    tri_soa: jnp.ndarray,
+    n_tris: jnp.ndarray,
+    pose5: jnp.ndarray,
+    pc: PointBuffer,
+    key: jax.Array,
+    intr: CameraIntrinsics,
+    n_slots: int = 6144,
+    gathering_factor: float = 0.05,
+    sensor_range: float = 70.0,
+    interpret: Optional[bool] = None,
+) -> PointBuffer:
+    """The loop-start frame re-processing (nbp_planning.py:64-110): the
+    current pose's frame is rendered and its points appended (a second,
+    independently-subsampled batch of the last move frame)."""
+    zbuf, R, T = capture_depth(tri_soa, n_tris, pose5, intr)
+    batch = backproject_sample(
+        zbuf, R, T, intr, key, n_slots,
+        gathering_factor=gathering_factor, sensor_range=sensor_range,
+    )
+    return pc.append(batch)

@@ -1,0 +1,117 @@
+"""Depth sensor: render -> mask -> backproject -> fixed-budget subsample.
+
+Replaces the reference chain capture_image -> save .pt -> reload ->
+obtain_depth -> compute_partial_point_cloud
+(macarons_utils.py:2743-2847, long_term_utils.py:50-155) with one jitted
+stage that keeps frames on device. Only the perfect-depth path is modelled
+(the NBP pipeline always runs use_perfect_depth=true,
+configs/nbp/nbp_default_training_config.json:65): depth = rendered zbuf
+clamped to [znear, zfar] (long_term_utils.py:105-112), mask = zbuf > -1
+(macarons_utils.py:2771), error_mask = mask.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.cameras import CameraIntrinsics, camera_center, get_camera_RT
+from ..ops.raytrace import render_depth
+
+_F32 = jax.lax.Precision.HIGHEST
+
+
+class FramePoints(NamedTuple):
+    """Fixed-size backprojected point batch from one frame."""
+
+    points: jnp.ndarray  # (P, 3) world points (garbage where ~valid)
+    valid: jnp.ndarray   # (P,) bool
+
+
+def capture_depth(tri_soa: jnp.ndarray, n_tris, pose5: jnp.ndarray,
+                  intr: CameraIntrinsics) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Render a depth frame for a 5-D pose. Returns (zbuf, R, T)."""
+    R, T = get_camera_RT(pose5[None, :3], pose5[None, 3:])
+    zbuf = render_depth(tri_soa, n_tris, R[0], T[0], intr)
+    return zbuf, R[0], T[0]
+
+
+def backproject_sample(
+    zbuf: jnp.ndarray,
+    R: jnp.ndarray,
+    T: jnp.ndarray,
+    intr: CameraIntrinsics,
+    key: jax.Array,
+    n_slots: int,
+    gathering_factor: float = 0.05,
+    sensor_range: float = 70.0,
+    znear_clamp: float = 0.5,
+    zfar_clamp: float = 750.0,
+) -> FramePoints:
+    """Random fraction of valid depth pixels unprojected to world points.
+
+    Mirrors compute_partial_point_cloud (macarons_utils.py:2811-2847):
+    valid = mask & (depth < sensor_range); keep
+    n = int(gathering_factor * n_valid) random pixels without replacement.
+    Depth is clamped to [znear, zfar] first like obtain_depth
+    (long_term_utils.py:107).
+    """
+    H, W = zbuf.shape
+    n_px = H * W
+    mask = (zbuf > -1.0).reshape(-1)
+    depth = jnp.clip(zbuf, znear_clamp, zfar_clamp).reshape(-1)
+    valid = mask & (depth < sensor_range)
+    n_valid = jnp.sum(valid)
+    n_keep = jnp.minimum(
+        (gathering_factor * n_valid).astype(jnp.int32), n_slots
+    )
+
+    scores = jax.random.uniform(key, (n_px,))
+    scores = jnp.where(valid, scores, 2.0)
+    idx = jax.lax.top_k(-scores, n_slots)[1]  # n_slots smallest scores
+    slot_valid = (jnp.arange(n_slots) < n_keep) & valid[idx]
+
+    # Unproject only the selected pixels: world = eye + depth * (d_view @ R^T)
+    d_view = intr.pixel_ray_dirs_view().reshape(-1, 3)[idx]
+    d_world = jnp.matmul(d_view, R.T, precision=_F32)
+    eye = camera_center(R, T)
+    pts = eye[None, :] + depth[idx][:, None] * d_world
+    return FramePoints(points=pts, valid=slot_valid)
+
+
+class PointBuffer(NamedTuple):
+    """Append-only fixed-capacity point cloud (the reference's full_pc)."""
+
+    points: jnp.ndarray  # (C, 3)
+    count: jnp.ndarray   # scalar int32
+
+    @staticmethod
+    def create(capacity: int) -> "PointBuffer":
+        return PointBuffer(
+            points=jnp.zeros((capacity, 3), jnp.float32),
+            count=jnp.zeros((), jnp.int32),
+        )
+
+    def append(self, batch: FramePoints) -> "PointBuffer":
+        """Append the valid prefix-compacted batch (order-stable)."""
+        n_new = jnp.sum(batch.valid).astype(jnp.int32)
+        # Compact valid points to the front of the batch.
+        order = jnp.argsort(~batch.valid, stable=True)
+        pts = batch.points[order]
+        cap = self.points.shape[0]
+        slots = self.count + jnp.arange(pts.shape[0])
+        ok = (jnp.arange(pts.shape[0]) < n_new) & (slots < cap)
+        slots = jnp.where(ok, slots, cap)  # out-of-range writes dropped
+        new_points = self.points.at[slots].set(pts, mode="drop")
+        new_count = jnp.minimum(self.count + n_new, cap)
+        return PointBuffer(points=new_points, count=new_count)
+
+    @property
+    def capacity(self) -> int:
+        return self.points.shape[0]
+
+    def valid_mask(self) -> jnp.ndarray:
+        return jnp.arange(self.capacity) < self.count

@@ -1,0 +1,115 @@
+"""Experience replay store (host side).
+
+Replaces the reference's LMDB + msgpack_numpy experience DB
+(next_best_path/utility/nbp_utils.py:32-141, train_nbp_model.py:61-63) with
+an in-process store + npz persistence. Schema is identical:
+
+    current_model_input    (1, 5, 256, 256) f32  (stored f16 — counts < 2048
+                                                  are exactly representable)
+    current_gt_2d_layout   (1, 1, 256, 256) f32  (stored u8 — binary)
+    target_value_map_pixel (k, 3) i32            (rot, row, col)
+    actual_coverage_gain   (k,) f32
+    pose_i                 int
+
+Reader utilities mirror the reference's sampling scheme:
+- store_validation_data (:77-99): every-Nth entry moved out as validation,
+- read_combined_data (:101-141): the newest `last_n` entries plus a random
+  sample of the older ones.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+import random
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Experience:
+    model_input: np.ndarray   # (5, 256, 256) f16
+    gt_layout: np.ndarray     # (256, 256) u8
+    pixels: np.ndarray        # (k, 3) i32
+    gains: np.ndarray         # (k,) f32
+    pose_i: int
+
+
+class ReplayDB:
+    def __init__(self, path: Optional[str] = None):
+        self.path = path
+        self.entries: List[Experience] = []
+        if path and os.path.exists(path):
+            self.load(path)
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    def append(self, model_input: np.ndarray, gt_layout: np.ndarray,
+               pixels: np.ndarray, gains: np.ndarray, pose_i: int) -> None:
+        self.entries.append(
+            Experience(
+                model_input=np.asarray(model_input, np.float16).reshape(5, 256, 256),
+                gt_layout=np.asarray(gt_layout, np.uint8).reshape(256, 256),
+                pixels=np.asarray(pixels, np.int32).reshape(-1, 3),
+                gains=np.asarray(gains, np.float32).reshape(-1),
+                pose_i=int(pose_i),
+            )
+        )
+
+    def extract_validation(self, num: int = 1200) -> List[Experience]:
+        """Move every-Nth entry out into a validation set
+        (store_validation_data, nbp_utils.py:77-99)."""
+        if not self.entries:
+            return []
+        n = math.ceil(len(self.entries) / num)
+        val, keep = [], []
+        for i, e in enumerate(self.entries):
+            if i % n == 0 and len(val) < num:
+                val.append(e)
+            else:
+                keep.append(e)
+        self.entries = keep
+        return val
+
+    def read_combined(self, last_n: int = 4608, sample_size: int = 4352,
+                      rng: Optional[random.Random] = None) -> List[Experience]:
+        """Newest last_n + random sample_size of the older entries
+        (read_combined_data, nbp_utils.py:101-141)."""
+        rng = rng or random.Random(0)
+        if last_n is None or len(self.entries) <= last_n:
+            return list(self.entries)
+        old = self.entries[:-last_n]
+        sampled = rng.sample(old, min(sample_size, len(old)))
+        return sampled + self.entries[-last_n:]
+
+    # -- persistence ------------------------------------------------------
+
+    def save(self, path: Optional[str] = None) -> None:
+        path = path or self.path
+        assert path is not None
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        arrays: Dict[str, Any] = {"n": np.asarray(len(self.entries))}
+        for i, e in enumerate(self.entries):
+            arrays[f"mi_{i}"] = e.model_input
+            arrays[f"gl_{i}"] = e.gt_layout
+            arrays[f"px_{i}"] = e.pixels
+            arrays[f"gn_{i}"] = e.gains
+            arrays[f"pi_{i}"] = np.asarray(e.pose_i)
+        np.savez_compressed(path, **arrays)
+
+    def load(self, path: str) -> None:
+        with np.load(path) as z:
+            n = int(z["n"])
+            self.entries = [
+                Experience(
+                    model_input=z[f"mi_{i}"],
+                    gt_layout=z[f"gl_{i}"],
+                    pixels=z[f"px_{i}"],
+                    gains=z[f"gn_{i}"],
+                    pose_i=int(z[f"pi_{i}"]),
+                )
+                for i in range(n)
+            ]

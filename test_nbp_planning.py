@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""NBP planning evaluation CLI (analog of the reference's test_nbp_planning.py).
+
+Usage: python test_nbp_planning.py --procgen simple --poses 101 \
+           [--weights weights/nbp/nbp_best_val.ckpt] [--out results.json]
+"""
+
+import argparse
+import os
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-c", "--config", default=None)
+    ap.add_argument("--procgen", default="simple")
+    ap.add_argument("--scene-dirs", default=None)
+    ap.add_argument("--weights", default=None)
+    ap.add_argument("--poses", type=int, default=101)
+    ap.add_argument("--seed", type=int, default=8)
+    ap.add_argument("--out", default="data/nbp_results.json")
+    ap.add_argument("--quick", action="store_true",
+                    help="small camera/buffers for smoke runs")
+    args = ap.parse_args()
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.join(os.path.dirname(__file__), ".jax_cache"))
+
+    import jax
+    import jax.numpy as jnp
+
+    from nextbestpath_tpu.config import default_params, load_params
+    from nextbestpath_tpu.assets import (generate_scene, load_scene_dir,
+                                         pack_generated_scene)
+    from nextbestpath_tpu.eval import test_nbp_planning
+    from nextbestpath_tpu.models import NBP
+    from nextbestpath_tpu.utils.checkpoint import load_checkpoint
+
+    params = load_params(args.config) if args.config else default_params()
+    for k in ("pc2img_size", "prediction_range", "value_map_size", "n_pieces",
+              "full_pc_capacity", "points_per_frame", "max_path_len",
+              "fov_degrees", "camera_znear"):
+        if k not in params:
+            params.update(**{k: default_params().get(k)})
+    if args.quick:
+        params.update(image_height=64, image_width=114, points_per_frame=1024,
+                      full_pc_capacity=262144, n_gt_surface_points=4096)
+
+    scenes = []
+    if args.scene_dirs:
+        for d in args.scene_dirs.split(","):
+            scenes.append(load_scene_dir(d, params=params))
+    else:
+        for i, diff in enumerate(args.procgen.split(",")):
+            scenes.append(pack_generated_scene(
+                generate_scene(diff.strip(), seed=args.seed + i), params=params))
+
+    model = NBP()
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 256, 256, 5)), train=False)
+    if args.weights:
+        variables, _, _, _ = load_checkpoint(args.weights, variables)
+
+    test_nbp_planning(scenes, model, variables, params=params,
+                      n_poses=args.poses, results_path=args.out,
+                      seed=args.seed)
+
+
+if __name__ == "__main__":
+    main()

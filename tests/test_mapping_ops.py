@@ -1,0 +1,134 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nextbestpath_tpu.ops import (
+    binned_count_imgs,
+    bucketize_bins,
+    compute_auc,
+    count_img,
+    coverage_percentage,
+    ego2d,
+    height_bins,
+    img_coords,
+)
+from nextbestpath_tpu.ops.obstacle_map import (
+    plane_section_segments,
+    rasterize_segments,
+)
+
+
+def _torch_reference_scatter(points, cam, grid_size, grid_range):
+    """Numpy re-statement of transform_points_to_n_pieces +
+    map_points_to_n_imgs (next_best_path/utility/utils.py:166-223)."""
+    d = points - cam
+    p2 = np.stack([-d[:, 2], -d[:, 0]], axis=-1)
+    lo, hi = grid_range
+    scale = grid_size / (hi - lo)
+    xm = np.round((p2[:, 0] - lo) * scale).astype(np.int64)
+    ym = np.round((p2[:, 1] - lo) * scale).astype(np.int64)
+    ok = (xm >= 0) & (xm < grid_size) & (ym >= 0) & (ym < grid_size)
+    img = np.zeros((grid_size, grid_size), np.float32)
+    np.add.at(img, (xm[ok], ym[ok]), 1.0)
+    return img
+
+
+def test_scatter_matches_reference():
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-60, 60, size=(5000, 3)).astype(np.float32)
+    cam = np.array([5.0, 3.3, -2.0], np.float32)
+    ref = _torch_reference_scatter(pts, cam, 256, (-40.0, 40.0))
+    ours = np.asarray(
+        count_img(jnp.asarray(pts), jnp.ones(5000, bool), jnp.asarray(cam),
+                  256, (-40.0, 40.0))
+    )
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_scatter_respects_validity():
+    pts = jnp.zeros((10, 3))
+    cam = jnp.zeros(3)
+    valid = jnp.arange(10) < 4
+    img = np.asarray(count_img(pts, valid, cam, 64, (-40.0, 40.0)))
+    assert img.sum() == 4
+
+
+def test_bucketize_matches_torch_semantics():
+    import torch
+
+    y_bins = np.array([0.5, 2.5, 4.5, 6.5, 8.5], np.float32)
+    y = np.array([-1.0, 0.5, 0.6, 2.5, 2.6, 8.4, 9.0], np.float32)
+    want = (torch.bucketize(torch.from_numpy(y), torch.from_numpy(y_bins[:-1])) - 1).numpy()
+    got = np.asarray(bucketize_bins(jnp.asarray(y), jnp.asarray(y_bins)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_binned_imgs_equal_reference_loop():
+    rng = np.random.default_rng(1)
+    pts = rng.uniform(-30, 30, size=(3000, 3)).astype(np.float32)
+    pts[:, 1] = rng.uniform(0.0, 9.0, size=3000)
+    cam = np.array([0.0, 3.3, 0.0], np.float32)
+    y_bins = np.asarray(height_bins(jnp.float32(0.0), jnp.float32(9.0), 4))
+    ours = np.asarray(
+        binned_count_imgs(jnp.asarray(pts), jnp.ones(3000, bool),
+                          jnp.asarray(cam), jnp.asarray(y_bins), 4, 128,
+                          (-40.0, 40.0))
+    )
+    # Reference loop: bucketize then per-bin scatter.
+    bins = np.searchsorted(y_bins[:-1], pts[:, 1], side="left") - 1
+    for i in range(4):
+        ref_i = _torch_reference_scatter(pts[bins == i], cam, 128, (-40.0, 40.0))
+        np.testing.assert_array_equal(ours[i], ref_i)
+
+
+def test_coverage_percentage_basics():
+    key = jax.random.PRNGKey(0)
+    # Well-separated GT points (spacing 4 > threshold 1 + shift margins) so
+    # shifted copies can't accidentally cover a *different* GT point.
+    g = np.stack(np.meshgrid(*[np.arange(8) * 40.0] * 3), axis=-1).reshape(-1, 3)
+    gt = jnp.asarray(g[:512], jnp.float32)
+    buf = jnp.zeros((4096, 3), jnp.float32)
+    # Empty buffer -> 0.
+    cov0 = float(coverage_percentage(gt, buf, jnp.int32(0), key))
+    assert cov0 == 0.0
+    # Buffer == GT -> 1.
+    buf = buf.at[:512].set(gt)
+    cov1 = float(coverage_percentage(gt, buf, jnp.int32(512), key))
+    assert cov1 == 1.0
+    # Buffer shifted by 2 (> threshold 1) -> 0.
+    buf2 = buf.at[:512].set(gt + 2.0)
+    cov2 = float(coverage_percentage(gt, buf2, jnp.int32(512), key))
+    assert cov2 == 0.0
+    # Half coverage.
+    buf3 = buf.at[:256].set(gt[:256]).at[256:512].set(gt[256:] + 5.0)
+    cov3 = float(coverage_percentage(gt, buf3, jnp.int32(512), key))
+    assert abs(cov3 - 0.5) < 1e-6
+
+
+def test_compute_auc_matches_reference_formula():
+    y = [0.1, 0.5, 0.9]
+    want = np.trapz(y, dx=1 / 40) + y[0] * (1 / 40) / 2
+    assert abs(compute_auc(y) - want) < 1e-12
+
+
+def test_plane_section_and_raster():
+    # One wall: a vertical quad from (0,0,5)-(10,9,5); plane y=3 cuts it in a
+    # segment x in [0,10] at z=5.
+    tris = jnp.asarray(
+        [
+            [[0.0, 0.0, 5.0], [10.0, 0.0, 5.0], [10.0, 9.0, 5.0]],
+            [[0.0, 0.0, 5.0], [10.0, 9.0, 5.0], [0.0, 9.0, 5.0]],
+        ]
+    )
+    seg, valid = plane_section_segments(tris, 2, jnp.float32(3.0))
+    assert bool(valid.all())
+    seg = np.asarray(seg)
+    assert np.allclose(seg[:, :, 1], 5.0, atol=1e-5)  # z = 5 everywhere
+    img = np.asarray(
+        rasterize_segments(jnp.asarray(seg), valid, jnp.float32(5.0),
+                           jnp.float32(0.0), grid_size=256,
+                           grid_range=(-40.0, 40.0))
+    )
+    # Segment row: -(z-cz) = -5 -> row = round((-5+40)*3.2) = 112
+    assert img[112].sum() > 20  # a horizontal line of pixels
+    assert img.sum() == img[112].sum()  # only that row

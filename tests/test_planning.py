@@ -1,0 +1,133 @@
+import heapq
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nextbestpath_tpu.planning.bresenham import bresenham_obstacle_count
+from nextbestpath_tpu.planning.grid_paths import (
+    DIRS,
+    INF,
+    bfs_distance_field,
+    extract_path,
+    lattice_positions,
+)
+
+
+def _ref_bresenham(x0, y0, x1, y1):
+    """Literal port of the reference bresenham_line (long_term_utils.py:277)."""
+    points = []
+    dx = abs(x1 - x0)
+    dy = abs(y1 - y0)
+    sx = 1 if x0 < x1 else -1
+    sy = 1 if y0 < y1 else -1
+    err = dx - dy
+    while True:
+        points.append((x0, y0))
+        if x0 == x1 and y0 == y1:
+            break
+        e2 = 2 * err
+        if e2 > -dy:
+            err -= dy
+            x0 += sx
+        if e2 < dx:
+            err += dx
+            y0 += sy
+    return points
+
+
+def test_bresenham_pixel_parity():
+    rng = np.random.default_rng(0)
+    img = (rng.random((64, 64)) < 0.3).astype(np.float32)
+    jimg = jnp.asarray(img)
+    for _ in range(20):
+        x0, y0, x1, y1 = rng.integers(0, 64, size=4)
+        want = sum(int(img[x, y]) for (x, y) in _ref_bresenham(int(x0), int(y0), int(x1), int(y1)))
+        got = int(bresenham_obstacle_count(jnp.int32(x0), jnp.int32(y0),
+                                           jnp.int32(x1), jnp.int32(y1), jimg,
+                                           max_steps=128))
+        assert got == want, (x0, y0, x1, y1, got, want)
+
+
+def _ref_dijkstra_dists(L, H, blocked, start):
+    """Host Dijkstra with the reference's unit costs and 4-neighbors."""
+    dist = {}
+    pq = [(0, start)]
+    dist[start] = 0
+    while pq:
+        d, node = heapq.heappop(pq)
+        if d > dist.get(node, 1 << 30):
+            continue
+        i, j = node
+        for k, (dl, dh) in enumerate(DIRS):
+            ni, nj = i + dl, j + dh
+            if not (0 <= ni < L and 0 <= nj < H):
+                continue
+            if blocked[k, i, j]:
+                continue
+            nd = d + 1
+            if nd < dist.get((ni, nj), 1 << 30):
+                dist[(ni, nj)] = nd
+                heapq.heappush(pq, (nd, (ni, nj)))
+    return dist
+
+
+def test_bfs_field_matches_dijkstra():
+    rng = np.random.default_rng(1)
+    L, H = 12, 9
+    blocked = rng.random((4, L, H)) < 0.3
+    # Make blocked symmetric-ish like real edge tables (both directions).
+    for k, (dl, dh) in enumerate(DIRS):
+        opp = {(1, 0): 1, (-1, 0): 0, (0, 1): 3, (0, -1): 2}[(dl, dh)]
+        for i in range(L):
+            for j in range(H):
+                ni, nj = i + dl, j + dh
+                if 0 <= ni < L and 0 <= nj < H and blocked[k, i, j]:
+                    blocked[opp, ni, nj] = True
+    start = (0, 0)
+    ref = _ref_dijkstra_dists(L, H, blocked, start)
+    dist = np.asarray(
+        bfs_distance_field(jnp.asarray(blocked), jnp.asarray(start), L, H)
+    )
+    for i in range(L):
+        for j in range(H):
+            want = ref.get((i, j), int(INF))
+            got = int(dist[i, j])
+            if want >= 1 << 20:
+                assert got >= int(INF)
+            else:
+                assert got == want, (i, j, got, want)
+
+
+def test_extract_path_valid():
+    L, H = 10, 10
+    blocked = jnp.zeros((4, L, H), bool)
+    start = jnp.asarray([0, 0])
+    goal = jnp.asarray([4, 3])
+    dist = bfs_distance_field(blocked, start, L, H)
+    path, plen, reachable = extract_path(dist, blocked, goal, L, H, max_len=16)
+    assert bool(reachable)
+    assert int(plen) == 7
+    path = np.asarray(path)[:7]
+    # Path is start-exclusive, ends at goal, each step is a unit move.
+    assert (path[-1] == [4, 3]).all()
+    prev = np.array([0, 0])
+    for p in path:
+        assert abs(p - prev).sum() == 1
+        prev = p
+
+
+def test_extract_path_unreachable():
+    L, H = 6, 6
+    blocked = jnp.ones((4, L, H), bool)  # no edges at all
+    dist = bfs_distance_field(blocked, jnp.asarray([0, 0]), L, H)
+    path, plen, reachable = extract_path(dist, blocked, jnp.asarray([5, 5]), L, H,
+                                         max_len=16)
+    assert not bool(reachable)
+
+
+def test_lattice_positions():
+    pos = np.asarray(lattice_positions(jnp.asarray([10.0, 3.3, 20.0]), 4, 3))
+    assert pos.shape == (4, 3, 3)
+    np.testing.assert_allclose(pos[0, 0], [10.0, 3.3, 20.0])
+    np.testing.assert_allclose(pos[2, 1], [16.0, 3.3, 23.0])

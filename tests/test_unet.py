@@ -1,0 +1,59 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nextbestpath_tpu.models import NBP, nbp_loss
+
+
+def _init(model, x):
+    return model.init(jax.random.PRNGKey(0), x, train=False)
+
+
+def test_nbp_shapes_small():
+    """Topology check on a scaled-down 64x64 input: value decoder stops two
+    upsample levels early (64/4 = 16), obstacle decoder returns full res."""
+    model = NBP()
+    x = jnp.zeros((2, 64, 64, 5))
+    variables = _init(model, x)
+    v, o = model.apply(variables, x, train=False)
+    assert v.shape == (2, 16, 16, 8)
+    assert o.shape == (2, 64, 64, 1)
+    assert float(o.min()) >= 0.0 and float(o.max()) <= 1.0
+
+
+def test_nbp_param_count_matches_reference_scale():
+    """The reference NBP has ~55M params (dual decoders over a 1024-ch
+    bottleneck). Ensure we are in the same ballpark (same topology)."""
+    model = NBP()
+    x = jnp.zeros((1, 64, 64, 5))
+    variables = _init(model, x)
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
+    assert 40_000_000 < n < 75_000_000, n
+
+
+def test_nbp_train_mode_updates_batch_stats():
+    model = NBP()
+    x = jnp.ones((2, 64, 64, 5))
+    variables = _init(model, x)
+    (_, _), mutated = model.apply(variables, x, train=True,
+                                  mutable=["batch_stats"])
+    before = jax.tree.leaves(variables["batch_stats"])
+    after = jax.tree.leaves(mutated["batch_stats"])
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(before, after)
+    )
+
+
+def test_nbp_loss_formula():
+    lv = jnp.asarray([0.3, -0.2])
+    pv = jnp.asarray([1.0, 2.0])
+    tv = jnp.asarray([0.0, 1.0])
+    pl = jnp.asarray([0.7, 0.4])
+    tl = jnp.asarray([1.0, 0.0])
+    got = float(nbp_loss(lv, pv, tv, pl, tl))
+    s1 = np.exp(2 * 0.3)
+    s2 = np.exp(2 * -0.2)
+    mse = 1.0
+    bce = -np.mean([np.log(0.7), np.log(0.6)])
+    want = mse / (2 * s1) + 0.3 + bce / s2 - 0.2
+    assert abs(got - want) < 1e-4  # f32 eval vs f64 reference
