@@ -57,13 +57,32 @@ def main():
     scn = generate_scene(args.difficulty, seed=args.seed)
     assets = pack_generated_scene(scn, params=params)
     model = NBP()
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, 256, 256, 5)), train=False)
+    # Jit the init: eager flax init dispatches each conv separately, which is
+    # minutes-slow over the remote-TPU tunnel.
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 5)))
+    # Free-space-optimistic init: an untrained obstacle decoder outputs
+    # sigmoid(~0) = 0.5 >= threshold 0.13, i.e. 'everything blocked', so the
+    # agent would only rotate in place. Biasing the final conv to -4 makes
+    # the layout open (like a trained model) so the benchmark exercises the
+    # full navigate+plan path.
+    import flax
+
+    params_dict = flax.core.unfreeze(variables["params"]) if hasattr(
+        flax.core, "unfreeze") else dict(variables["params"])
+    params_dict["final2"]["Conv_0"]["bias"] = (
+        params_dict["final2"]["Conv_0"]["bias"] - 4.0
+    )
+    variables = dict(variables)
+    variables["params"] = params_dict
 
     # Warmup rollout compiles everything.
+    print("# init done, building warmup rollout", file=sys.stderr, flush=True)
     warm = NBPPlanningRollout(assets, model, variables, params=params,
                               seed=args.seed)
-    warm.run(n_poses=args.warmup_poses, verbose=False)
+    print("# warmup rollout constructed", file=sys.stderr, flush=True)
+    warm.run(n_poses=args.warmup_poses, verbose=True)
+    print("# warmup done", file=sys.stderr, flush=True)
 
     rollout = NBPPlanningRollout(assets, model, variables, params=params,
                                  seed=args.seed + 1)

@@ -1,0 +1,196 @@
+"""MACARONS greedy next-best-view tester on the TPU engine.
+
+Analog of macarons/testers/scene.py:compute_trajectory (:491-825) with the
+decision core of train_macarons.loop (:319-345): per pose the agent
+
+1. renders + backprojects the current frame (perfect depth),
+2. carves the proxy occupancy field and updates view states,
+3. predicts occupancy probabilities with SconeOcc over proxy points,
+4. scores every neighboring pose with SconeVis visibility gains evaluated
+   toward the candidate camera center, weighted by the in-fov proxy volume
+   (predict_coverage_gain_for_single_camera, macarons_utils.py:1909-2080),
+5. greedily moves to the argmax neighbor.
+
+All candidates are scored in one batched SconeVis call instead of the
+reference's per-neighbor Python loop.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..assets.scene_assets import SceneAssets
+from ..config import Params, default_params
+from ..geometry.cameras import CameraIntrinsics, get_camera_RT, points_in_fov_mask
+from ..models.harmonics import base_view_harmonics
+from ..models.scone import SconeOcc, SconeVis, coverage_gain
+from ..ops.coverage import compute_auc, coverage_percentage
+from ..ops.raytrace import tris_to_soa
+from ..ops.view_state import compute_view_harmonics
+from ..planning.grid_paths import DIRS
+from ..sim.proxy import ProxyField, carve_with_frame
+from ..sim.rollout import TrajectoryBuffer, move_and_capture
+from ..sim.sensor import PointBuffer, capture_depth
+from ..sim.tables import build_scene_tables
+from .nbp_planning import RolloutResult
+
+
+def _sample_tokens(key, points, valid, n_tokens):
+    """Random n_tokens valid points (with replacement on the valid prefix)."""
+    count = jnp.maximum(jnp.sum(valid), 1)
+    idx = jax.random.randint(key, (n_tokens,), 0, count)
+    order = jnp.argsort(~valid, stable=True)
+    return points[order][idx]
+
+
+def macarons_nbv_rollout(
+    assets: SceneAssets,
+    scone_occ: SconeOcc, occ_variables,
+    scone_vis: SconeVis, vis_variables,
+    params: Optional[Params] = None,
+    n_poses: int = 100, seed: int = 8,
+    n_tokens: int = 1024,
+    n_proxy_tokens: int = 1024,
+    interpret: Optional[bool] = None,
+    verbose: bool = False,
+) -> RolloutResult:
+    p = params or default_params()
+    key = jax.random.PRNGKey(seed)
+
+    def next_key():
+        nonlocal key
+        key, k = jax.random.split(key)
+        return k
+
+    intr = CameraIntrinsics(
+        image_height=int(p.image_height), image_width=int(p.image_width),
+        fov_degrees=float(p.fov_degrees), znear=float(p.camera_znear),
+        zfar=float(p.zfar),
+    )
+    tri_soa = tris_to_soa(jnp.asarray(assets.tris))
+    n_tris = jnp.asarray(assets.n_tris, jnp.int32)
+    gt = jnp.asarray(assets.gt_surface)
+    L, H, n_azim = assets.pose_l, assets.pose_h, assets.n_azim
+    tables = build_scene_tables(tri_soa, n_tris,
+                                jnp.asarray(assets.pose_origin), L, H,
+                                interpret=interpret)
+    blocked = np.asarray(tables.gt_edge_blocked)
+    positions = np.asarray(tables.positions)
+
+    n_elev_vs = int(p.view_state_n_elev)
+    n_azim_vs = int(p.view_state_n_azim)
+    base_h, h_polar = base_view_harmonics(n_elev_vs, n_azim_vs,
+                                          int(p.harmonic_degree))
+
+    sx_min = jnp.asarray(assets.settings.scene.x_min - 0.2)
+    sx_max = jnp.asarray(assets.settings.scene.x_max + 0.2)
+    proxy = ProxyField.create(next_key(), sx_min, sx_max,
+                              int(p.n_proxy_points), n_elev_vs, n_azim_vs)
+
+    def pose5(idx):
+        i_l, i_h, rot = idx
+        pos = positions[i_l, i_h]
+        return jnp.asarray([pos[0], pos[1], pos[2],
+                            assets.elevations_deg[2],
+                            assets.azimuths_deg[rot]], jnp.float32)
+
+    pc = PointBuffer.create(int(p.full_pc_capacity))
+    traj = TrajectoryBuffer.create(8 * (n_poses + 4))
+    start = assets.start_cam_idx
+    cur = (int(start[0]), int(start[2]), int(start[4]))
+
+    t1 = time.time()
+    pose0 = pose5(cur)
+    pc, traj, last_zbuf = move_and_capture(
+        tri_soa, n_tris, pose0, pose0, pc, traj, next_key(), intr,
+        n_steps=int(p.n_interpolation_steps), n_azim=n_azim,
+        n_slots=int(p.points_per_frame),
+        gathering_factor=float(p.gathering_factor),
+        sensor_range=float(p.sensor_range), interpret=interpret,
+    )
+
+    coverage_evolution: List[float] = []
+    for pose_i in range(n_poses):
+        cov = float(coverage_percentage(gt, pc.points, pc.count, next_key()))
+        coverage_evolution.append(cov)
+        if verbose and pose_i % 10 == 0:
+            print(f"nbv pose {pose_i}: coverage {cov:.4f}")
+
+        cur_pose = pose5(cur)
+        zbuf, R, T = capture_depth(tri_soa, n_tris, cur_pose, intr)
+        proxy = carve_with_frame(
+            proxy, zbuf, R, T, cur_pose[:3], intr,
+            score_threshold=float(p.score_threshold),
+            carving_tolerance=float(p.carving_tolerance),
+            n_elev=n_elev_vs, n_azim=n_azim_vs,
+        )
+
+        # Occupancy prediction on a proxy-token sample.
+        proxy_tokens = _sample_tokens(next_key(), proxy.points,
+                                      jnp.ones(proxy.points.shape[0], bool),
+                                      n_proxy_tokens)
+        pc_tokens = _sample_tokens(next_key(), pc.points, pc.valid_mask(),
+                                   n_tokens)
+        box_center = (sx_min + sx_max) / 2.0
+        box_diag = jnp.linalg.norm(sx_max - sx_min)
+        norm = lambda q: (q - box_center) / box_diag
+        vs_idx = jax.random.randint(next_key(), (n_proxy_tokens,), 0,
+                                    proxy.points.shape[0])
+        vh = compute_view_harmonics(
+            proxy.view_states[None, vs_idx], base_h, h_polar,
+            n_elev_vs, n_azim_vs,
+        )
+        occ = scone_occ.apply(occ_variables, norm(pc_tokens)[None],
+                              norm(proxy.points[vs_idx])[None], vh,
+                              key=next_key())
+        occ_tokens = jnp.concatenate(
+            [proxy.points[vs_idx], occ[0]], axis=-1
+        )
+
+        # Visibility-gain harmonics once; coverage gain toward each neighbor.
+        vis_h = scone_vis.apply(vis_variables, norm(occ_tokens[None, :, :3]),
+                                view_harmonics=vh)
+
+        # Candidate neighbors: unit moves (4 dirs) x all azimuths + in-place
+        # rotations are excluded (reference removes zero-translation
+        # neighbors, macarons_utils.py:2468-2470).
+        cands: List[Tuple[int, int, int]] = []
+        for d, (dl, dh) in enumerate(DIRS):
+            nl, nh = cur[0] + dl, cur[1] + dh
+            if 0 <= nl < L and 0 <= nh < H and not blocked[d, cur[0], cur[1]]:
+                for rot_shift in (-2, -1, 0, 1, 2):
+                    cands.append((nl, nh, (cur[2] + rot_shift) % n_azim))
+        if not cands:
+            cands = [(cur[0], cur[1], int(jax.random.randint(next_key(), (),
+                                                             0, n_azim)))]
+        X_cands = jnp.asarray(
+            [np.concatenate([positions[c[0], c[1]]]) for c in cands]
+        )
+        gains = coverage_gain(norm(occ_tokens[None, :, :3]), vis_h,
+                              norm(X_cands)[None])[0]
+        best = int(jnp.argmax(gains))
+        nxt = cands[best]
+
+        pc, traj, last_zbuf = move_and_capture(
+            tri_soa, n_tris, cur_pose, pose5(nxt), pc, traj, next_key(), intr,
+            n_steps=int(p.n_interpolation_steps), n_azim=n_azim,
+            n_slots=int(p.points_per_frame),
+            gathering_factor=float(p.gathering_factor),
+            sensor_range=float(p.sensor_range), interpret=interpret,
+        )
+        cur = nxt
+
+    wall = time.time() - t1
+    return RolloutResult(
+        coverage_evolution=coverage_evolution,
+        auc=compute_auc(coverage_evolution),
+        cam_positions=np.asarray(traj.xyz[: int(traj.count)]),
+        wall_time_s=wall,
+        n_points=int(pc.count),
+        steps_per_sec=n_poses / wall,
+    )

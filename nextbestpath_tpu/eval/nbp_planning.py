@@ -136,6 +136,11 @@ class NBPPlanningRollout:
         self.assets = assets
         self.model = nbp_model
         self.variables = nbp_variables
+        # Eager flax apply dispatches each conv separately (catastrophic over
+        # a remote-TPU tunnel); one jitted forward for the whole rollout.
+        self._forward = jax.jit(
+            lambda v, x: nbp_model.apply(v, x, train=False)
+        )
         self.intr = CameraIntrinsics(
             image_height=int(p.image_height), image_width=int(p.image_width),
             fov_degrees=float(p.fov_degrees), znear=float(p.camera_znear),
@@ -159,6 +164,10 @@ class NBPPlanningRollout:
         self.L = assets.pose_l
         self.H = assets.pose_h
         self.n_azim = assets.n_azim
+        # Host copies fetched once (device->host transfers are expensive
+        # through the remote-TPU tunnel).
+        self._positions_np = np.asarray(self.tables.positions)
+        self._gt_eb_np = np.asarray(self.tables.gt_edge_blocked)
 
     def _next_key(self):
         self.key, k = jax.random.split(self.key)
@@ -166,7 +175,7 @@ class NBPPlanningRollout:
 
     def _pose5(self, idx_lh_rot: Tuple[int, int, int]) -> jnp.ndarray:
         i_l, i_h, rot = idx_lh_rot
-        pos = np.asarray(self.tables.positions)[i_l, i_h]
+        pos = self._positions_np[i_l, i_h]
         elev = self.assets.elevations_deg[2]  # fixed elevation index 2
         azim = self.assets.azimuths_deg[rot]
         return jnp.asarray([pos[0], pos[1], pos[2], elev, azim], jnp.float32)
@@ -200,7 +209,7 @@ class NBPPlanningRollout:
 
         path: List[Tuple[int, int, int]] = []
         path_record = 0
-        gt_eb = self.tables.gt_edge_blocked
+        gt_eb = self._gt_eb_np
         coverage_evolution: List[float] = []
         value_map = None
 
@@ -248,9 +257,8 @@ class NBPPlanningRollout:
                     edge_memo = self._memo_edge(edge_memo, a, b, EDGE_PASSABLE)
 
             if regen:
-                value_map, obstacle_map = self.model.apply(
-                    self.variables, model_input, train=False
-                )
+                value_map, obstacle_map = self._forward(self.variables,
+                                                        model_input)
                 layout, proj256 = fuse_layout(
                     obstacle_map[0, :, :, 0], pc, traj_img, cur_pose5,
                     img_size=int(p.pc2img_size[0]),
@@ -270,8 +278,7 @@ class NBPPlanningRollout:
                 edge_memo = self._pending_memo
                 banned = self._pending_banned
             else:
-                value_map, _ = self.model.apply(self.variables, model_input,
-                                                train=False)
+                value_map, _ = self._forward(self.variables, model_input)
 
             # Choose the next index (nbp_planning.py:252-266).
             if not path:
@@ -362,8 +369,10 @@ class NBPPlanningRollout:
                 value_map_size=int(p.value_map_size[0]),
             )
             n = int(path_len)
+            path_np = np.asarray(path_arr)
+            rots_np = np.asarray(rots)
             path = [
-                (int(path_arr[i, 0]), int(path_arr[i, 1]), int(rots[i]))
+                (int(path_np[i, 0]), int(path_np[i, 1]), int(rots_np[i]))
                 for i in range(n)
             ]
             if not path:

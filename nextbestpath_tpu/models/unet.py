@@ -143,7 +143,8 @@ class NBP(nn.Module):
         d4 = UpConv(256, **kw)(d5, train)
         a3 = AttentionGate(128, **kw)(d4, x3, train)
         d4 = ConvBlock(256, **kw)(jnp.concatenate([a3, d4], axis=-1), train)
-        out1 = TorchConv(self.output_ch1, (1, 1), dtype=self.dtype)(d4)
+        out1 = TorchConv(self.output_ch1, (1, 1), dtype=self.dtype,
+                         name="final1")(d4)
 
         # Decoder 2 -> obstacle map at full resolution.
         e5 = UpConv(512, **kw)(x5, train)
@@ -158,7 +159,8 @@ class NBP(nn.Module):
         e2 = UpConv(64, **kw)(e3, train)
         b1 = AttentionGate(32, **kw)(e2, x1, train)
         e2 = ConvBlock(64, **kw)(jnp.concatenate([b1, e2], axis=-1), train)
-        out2 = nn.sigmoid(TorchConv(self.output_ch2, (1, 1), dtype=self.dtype)(e2))
+        out2 = nn.sigmoid(TorchConv(self.output_ch2, (1, 1), dtype=self.dtype,
+                                    name="final2")(e2))
 
         log_vars = self.param("log_vars", nn.initializers.zeros, (2,))
         del log_vars  # registered here; consumed by nbp_loss via params

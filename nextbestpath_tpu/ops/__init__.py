@@ -17,3 +17,11 @@ from .scatter2d import (
 )
 from .coverage import compute_auc, coverage_percentage, masked_min_dists, subsample_buffer
 from .obstacle_map import gt_obstacle_map, plane_section_segments, rasterize_segments
+from .knn import knn_indices, knn_points
+from .depth_sample import grid_sample_bilinear, signed_distance_to_depth
+from .view_state import (
+    compute_view_harmonics,
+    compute_view_state,
+    normalize_points_in_prediction_box,
+    view_space_permutation,
+)

@@ -6,3 +6,5 @@ from .rollout import (
     observe_current,
 )
 from .tables import SceneTables, build_scene_tables
+from .proxy import ProxyField, camera_collides, carve_with_frame
+from .surface_store import SurfaceStore, camera_coverage_gain, scene_coverage

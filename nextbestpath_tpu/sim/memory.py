@@ -1,0 +1,113 @@
+"""On-disk per-scene trajectory memory (optional persistence tier).
+
+Mirrors the reference Memory's directory layout
+(macarons/utility/macarons_utils.py:3574-3978):
+
+    <scene>/<memory_dir>/training/<traj_i>/{frames,surface,occupancy,depths}
+    <scene>/<memory_dir>/poses.json
+
+In the TPU engine frames live in device buffers during a rollout; this class
+is the persistence/replay tier: it can snapshot frames (depth + pose) and
+surface/occupancy states as .npz, and serve random replay batches like
+get_random_batch_for_depth_model (:3768-3843, excluding the current
+trajectory) and get_random_scene_for_scone_model (:3845-3978).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+class Memory:
+    def __init__(self, scene_memory_paths: List[str], n_trajectories: int = 5,
+                 current_epoch: int = 0):
+        self.scene_memory_paths = list(scene_memory_paths)
+        self.n_trajectories = n_trajectories
+        self.current_epoch = current_epoch
+        for path in self.scene_memory_paths:
+            for t in range(n_trajectories):
+                for sub in ("frames", "surface", "occupancy", "depths"):
+                    os.makedirs(self.trajectory_dir(path, t, sub), exist_ok=True)
+
+    @staticmethod
+    def trajectory_dir(scene_memory_path: str, traj: int, sub: str) -> str:
+        return os.path.join(scene_memory_path, "training", str(traj), sub)
+
+    def current_trajectory(self) -> int:
+        return self.current_epoch % self.n_trajectories
+
+    def get_trajectory_frames_path(self, scene_memory_path: str,
+                                   traj: int) -> str:
+        return self.trajectory_dir(scene_memory_path, traj, "frames")
+
+    # -- frames -------------------------------------------------------------
+
+    def save_frame(self, scene_memory_path: str, traj: int, frame_nb: int,
+                   zbuf: np.ndarray, R: np.ndarray, T: np.ndarray,
+                   zfar: float, rgb: Optional[np.ndarray] = None) -> None:
+        path = os.path.join(self.trajectory_dir(scene_memory_path, traj,
+                                                "frames"), f"{frame_nb}.npz")
+        arrays = dict(zbuf=zbuf.astype(np.float16), R=R, T=T,
+                      zfar=np.asarray(zfar))
+        if rgb is not None:
+            arrays["rgb"] = (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
+        np.savez_compressed(path, **arrays)
+
+    def load_frame(self, scene_memory_path: str, traj: int,
+                   frame_nb: int) -> Dict[str, np.ndarray]:
+        path = os.path.join(self.trajectory_dir(scene_memory_path, traj,
+                                                "frames"), f"{frame_nb}.npz")
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}
+
+    def n_frames(self, scene_memory_path: str, traj: int) -> int:
+        d = self.trajectory_dir(scene_memory_path, traj, "frames")
+        return len([f for f in os.listdir(d) if f.endswith(".npz")])
+
+    def random_replay_frames(self, scene_memory_path: str, n_frames: int,
+                             rng: Optional[random.Random] = None
+                             ) -> List[Dict[str, np.ndarray]]:
+        """Random frames from a NON-current trajectory (the reference raises
+        'APOCALYPSE!' when replaying the current one,
+        macarons_utils.py:3793-3803)."""
+        rng = rng or random.Random(0)
+        candidates = [
+            t for t in range(self.n_trajectories)
+            if t != self.current_trajectory()
+            and self.n_frames(scene_memory_path, t) >= n_frames
+        ]
+        if not candidates:
+            return []
+        traj = rng.choice(candidates)
+        total = self.n_frames(scene_memory_path, traj)
+        start = rng.randrange(0, total - n_frames + 1)
+        return [self.load_frame(scene_memory_path, traj, start + i)
+                for i in range(n_frames)]
+
+    # -- scene snapshots ----------------------------------------------------
+
+    def save_surface(self, scene_memory_path: str, traj: int,
+                     points: np.ndarray, count: int) -> None:
+        path = os.path.join(self.trajectory_dir(scene_memory_path, traj,
+                                                "surface"), "surface.npz")
+        np.savez_compressed(path, points=points[:count])
+
+    def load_surface(self, scene_memory_path: str, traj: int) -> np.ndarray:
+        path = os.path.join(self.trajectory_dir(scene_memory_path, traj,
+                                                "surface"), "surface.npz")
+        with np.load(path) as z:
+            return z["points"]
+
+    def save_poses(self, scene_memory_path: str,
+                   poses: List[List[float]]) -> None:
+        with open(os.path.join(scene_memory_path, "poses.json"), "w") as f:
+            json.dump({"poses": poses}, f)
+
+    def load_poses(self, scene_memory_path: str) -> List[List[float]]:
+        with open(os.path.join(scene_memory_path, "poses.json")) as f:
+            return json.load(f)["poses"]

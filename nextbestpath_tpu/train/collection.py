@@ -117,6 +117,8 @@ def collect_trajectory(
     grid_range = tuple(p.prediction_range)
     vms = int(p.value_map_size[0])
 
+    forward = jax.jit(lambda v, x: nbp_model.apply(v, x, train=False))
+
     pc = PointBuffer.create(int(p.full_pc_capacity))
     traj = TrajectoryBuffer.create(8 * (n_poses + 4))
     visited_rot = jnp.zeros((L, H, n_azim), bool)
@@ -125,9 +127,11 @@ def collect_trajectory(
     cur = (int(start[0]), int(start[2]), int(start[4]))
     visited_rot = visited_rot.at[cur[0], cur[1], cur[2]].set(True)
 
+    positions_np = np.asarray(tables.positions)
+
     def pose5(idx):
         i_l, i_h, rot = idx
-        pos = np.asarray(tables.positions)[i_l, i_h]
+        pos = positions_np[i_l, i_h]
         return jnp.asarray(
             [pos[0], pos[1], pos[2], assets.elevations_deg[2],
              assets.azimuths_deg[rot]], jnp.float32)
@@ -147,6 +151,7 @@ def collect_trajectory(
     path: List[Tuple[int, int, int]] = []
     path_record = 0
     gt_blocked = tables.gt_edge_blocked
+    gt_blocked_np = np.asarray(gt_blocked)
     inside = np.asarray(tables.inside)
 
     def flush_experiences():
@@ -182,8 +187,7 @@ def collect_trajectory(
             flush_experiences()
             path, path_record = [], 0
 
-            value_map, _ = nbp_model.apply(nbp_variables, model_input,
-                                           train=False)
+            value_map, _ = forward(nbp_variables, model_input)
             scores = score_candidates_train(
                 tables.positions, cur_pose5[:3], value_map[0],
                 jnp.asarray([cur[0], cur[1]]), value_map_size=vms,
@@ -226,7 +230,9 @@ def collect_trajectory(
                 next_key(), n_azim=n_azim, value_map_size=vms,
             )
             n = int(path_len)
-            path = [(int(path_arr[i, 0]), int(path_arr[i, 1]), int(rots[i]))
+            path_np = np.asarray(path_arr)
+            rots_np = np.asarray(rots)
+            path = [(int(path_np[i, 0]), int(path_np[i, 1]), int(rots_np[i]))
                     for i in range(n)]
             if not path:
                 break

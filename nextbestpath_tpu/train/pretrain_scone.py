@@ -1,0 +1,261 @@
+"""SCONE pretraining harness (occupancy + visibility).
+
+Analog of macarons/trainers/pretrain_scone_occ.py and pretrain_scone_vis.py:
+sample camera subsets on a sphere around an object, build partial point
+clouds + view-state harmonics, then
+
+* occ: predict occupancy of query points, MSE vs GT occupancy
+  (pretrain_scone_occ.py:10-130),
+* vis: predict per-point visibility-gain harmonics, supervise the
+  per-candidate-camera coverage distribution with the configured loss
+  (pretrain_scone_vis.py:10-195; losses KLDivCE / L1 / uncentered L1 from
+  SconeVis.py:306-377 — default "uncentered_l1" per config).
+
+The ShapeNet dataset is not vendored; objects come from the procedural
+generator (closed meshes whose GT occupancy the parity kernel provides).
+Partial point clouds are produced by the same renderer used everywhere else.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..assets.procgen import generate_scene
+from ..assets.scene_assets import pack_generated_scene
+from ..geometry.cameras import CameraIntrinsics, get_camera_RT
+from ..geometry.spherical import get_spherical_coords
+from ..models.harmonics import base_view_harmonics
+from ..models.scone import SconeOcc, SconeVis, coverage_gain
+from ..ops.raytrace import points_inside_mesh, tris_to_soa
+from ..ops.view_state import compute_view_harmonics, compute_view_state
+from ..sim.sensor import backproject_sample, capture_depth
+
+
+def kl_div_ce(x, y):
+    """KL(softmax(y) || softmax(x)) batchmean (SconeVis.py:306-320)."""
+    logp = jax.nn.log_softmax(x, axis=1)
+    q = jax.nn.softmax(y, axis=1)
+    return jnp.sum(q * (jnp.log(jnp.clip(q, 1e-12)) - logp)) / x.shape[0]
+
+
+def normalized_l1(x, y, eps: float = 1e-7):
+    """Std-normalized L1 between coverage distributions (:322-351)."""
+    nx = (x - x.mean(axis=1, keepdims=True)) / (x.std(axis=1, keepdims=True) + eps)
+    ny = (y - y.mean(axis=1, keepdims=True)) / (y.std(axis=1, keepdims=True) + eps)
+    return jnp.mean(jnp.abs(nx - ny))
+
+
+def uncentered_l1(x, y, eps: float = 1e-7):
+    """Mean-normalized L1 (:353-377) — the default cov_loss_fn."""
+    nx = x / (x.mean(axis=1, keepdims=True) + eps)
+    ny = y / (y.mean(axis=1, keepdims=True) + eps)
+    return jnp.mean(jnp.abs(nx - ny))
+
+
+COV_LOSSES = {"kl_divergence": kl_div_ce, "l1": normalized_l1,
+              "uncentered_l1": uncentered_l1}
+
+
+def cameras_on_sphere(n: int, radius: float, center: np.ndarray,
+                      rng: np.random.Generator) -> np.ndarray:
+    """Random cameras on a sphere (get_cameras_on_sphere analog,
+    scone_utils.py:741)."""
+    elev = rng.uniform(-60.0, 60.0, n)
+    azim = rng.uniform(0.0, 360.0, n)
+    e = np.deg2rad(elev)
+    a = np.deg2rad(azim)
+    dirs = np.stack([np.cos(e) * np.sin(a), np.sin(e), np.cos(e) * np.cos(a)],
+                    axis=-1)
+    return center[None] + radius * dirs
+
+
+@dataclasses.dataclass
+class PretrainSample:
+    partial_pc: np.ndarray       # (N, 3) normalized
+    query_x: np.ndarray          # (M, 3) normalized
+    query_occ: np.ndarray        # (M, 1)
+    view_harmonics: np.ndarray   # (M, n_harmonics)
+    candidate_cams: np.ndarray   # (C, 3) normalized
+    gt_coverage: np.ndarray      # (C,)
+
+
+def make_pretrain_sample(seed: int, n_partial: int = 1024, n_query: int = 512,
+                         n_candidates: int = 16, n_views: int = 3,
+                         n_elev: int = 7, n_azim: int = 14,
+                         intr: Optional[CameraIntrinsics] = None
+                         ) -> PretrainSample:
+    """Build one supervised sample from a procedural object."""
+    rng = np.random.default_rng(seed)
+    scn = generate_scene("simple", seed=seed)
+    assets = pack_generated_scene(scn, seed=seed)
+    tri = jnp.asarray(assets.tris)
+    soa = tris_to_soa(tri)
+    n_tris = assets.n_tris
+    intr = intr or CameraIntrinsics(image_height=64, image_width=114)
+
+    lo = assets.settings.scene.x_min
+    hi = assets.settings.scene.x_max
+    center = (lo + hi) / 2.0
+    diag = float(np.linalg.norm(hi - lo))
+
+    # Views from inside the structure (procgen objects are interiors).
+    inside_xy = np.argwhere(scn.air_grid)
+    key = jax.random.PRNGKey(seed)
+
+    cam_positions = []
+    parts = []
+    for v in range(n_views):
+        cell = inside_xy[rng.integers(len(inside_xy))]
+        # plan-grid cell -> world center (approximation: use pose lattice).
+        il = rng.integers(assets.pose_l)
+        ih = rng.integers(assets.pose_h)
+        pos = assets.pose_position(np.asarray(il), np.asarray(ih))
+        azim = float(rng.uniform(0, 360))
+        pose5 = jnp.asarray([pos[0], pos[1], pos[2], 0.0, azim], jnp.float32)
+        zbuf, R, T = capture_depth(soa, n_tris, pose5, intr)
+        key, sub = jax.random.split(key)
+        batch = backproject_sample(zbuf, R, T, intr, sub, n_partial,
+                                   gathering_factor=0.2, sensor_range=200.0)
+        pts = np.asarray(batch.points)[np.asarray(batch.valid)]
+        parts.append(pts)
+        cam_positions.append(np.asarray(pos))
+
+    partial = np.concatenate(parts, axis=0) if parts else np.zeros((0, 3))
+    if len(partial) >= n_partial:
+        partial = partial[rng.permutation(len(partial))[:n_partial]]
+    else:
+        pad = rng.integers(0, max(len(partial), 1), n_partial - len(partial))
+        partial = np.concatenate([partial, partial[pad]]) if len(partial) else (
+            np.zeros((n_partial, 3), np.float32))
+
+    # Query points + GT occupancy by parity.
+    queries = rng.uniform(lo, hi, size=(n_query, 3)).astype(np.float32)
+    occ = np.asarray(points_inside_mesh(jnp.asarray(queries), soa, n_tris))
+    # Procgen meshes bound the AIR volume: occupied == NOT inside air.
+    occ = (~occ).astype(np.float32)[:, None]
+
+    # View harmonics at query points from the cameras used.
+    base_h, h_polar = base_view_harmonics(n_elev, n_azim, 8)
+    vs = compute_view_state(jnp.asarray(queries)[None],
+                            jnp.asarray(np.stack(cam_positions)),
+                            n_elev, n_azim)
+    vh = np.asarray(compute_view_harmonics(vs, base_h, h_polar, n_elev,
+                                           n_azim))[0]
+
+    cands = cameras_on_sphere(n_candidates, 0.7 * diag, center, rng)
+    # GT coverage proxy: fraction of GT surface visible from each candidate
+    # (unoccluded within sensor range).
+    gt_cov = []
+    gt_pts = assets.gt_surface[rng.permutation(len(assets.gt_surface))[:512]]
+    for c in cands:
+        d = gt_pts - c[None]
+        # occlusion: segment from camera to point must not hit the mesh
+        # before the point (strictly before => visible).
+        from ..ops.raytrace import ray_hits
+        t, _ = ray_hits(jnp.asarray(np.repeat(c[None], len(gt_pts), 0)),
+                        jnp.asarray(d), soa, n_tris, t_min=1e-4, t_max=0.999)
+        visible = np.asarray(t) >= 0.999
+        gt_cov.append(visible.mean())
+
+    norm = lambda q: (q - center) / diag
+    return PretrainSample(
+        partial_pc=norm(partial).astype(np.float32),
+        query_x=norm(queries).astype(np.float32),
+        query_occ=occ,
+        view_harmonics=vh.astype(np.float32),
+        candidate_cams=norm(cands).astype(np.float32),
+        gt_coverage=np.asarray(gt_cov, np.float32),
+    )
+
+
+def pretrain_scone_occ(n_steps: int = 100, lr: float = 1e-4, seed: int = 0,
+                       samples: Optional[List[PretrainSample]] = None,
+                       verbose: bool = True):
+    """Supervised occupancy pretraining loop (pretrain_scone_occ.py:133-247).
+
+    Returns (model, variables, losses)."""
+    samples = samples or [make_pretrain_sample(seed + i) for i in range(4)]
+    model = SconeOcc(seq_len=min(2048, samples[0].partial_pc.shape[0]))
+    key = jax.random.PRNGKey(seed)
+    s0 = samples[0]
+    variables = model.init(key, jnp.asarray(s0.partial_pc)[None],
+                           jnp.asarray(s0.query_x)[None],
+                           jnp.asarray(s0.view_harmonics)[None], key=key)
+    tx = optax.adam(lr)
+    opt_state = tx.init(variables)
+
+    @jax.jit
+    def step(variables, opt_state, pc, x, vh, occ, key):
+        def loss_fn(v):
+            pred = model.apply(v, pc, x, vh, key=key)
+            return jnp.mean((pred - occ) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(variables)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(variables, updates), opt_state, loss
+
+    losses = []
+    for i in range(n_steps):
+        s = samples[i % len(samples)]
+        key, sub = jax.random.split(key)
+        variables, opt_state, loss = step(
+            variables, opt_state, jnp.asarray(s.partial_pc)[None],
+            jnp.asarray(s.query_x)[None], jnp.asarray(s.view_harmonics)[None],
+            jnp.asarray(s.query_occ)[None], sub,
+        )
+        losses.append(float(loss))
+        if verbose and i % 10 == 0:
+            print(f"occ step {i}: mse {losses[-1]:.4f}")
+    return model, variables, losses
+
+
+def pretrain_scone_vis(n_steps: int = 100, lr: float = 1e-4, seed: int = 0,
+                       cov_loss: str = "uncentered_l1",
+                       samples: Optional[List[PretrainSample]] = None,
+                       verbose: bool = True):
+    """Visibility-gain pretraining loop (pretrain_scone_vis.py:196-347)."""
+    samples = samples or [make_pretrain_sample(seed + i) for i in range(4)]
+    model = SconeVis()
+    loss_fn_cov = COV_LOSSES[cov_loss]
+    key = jax.random.PRNGKey(seed)
+    s0 = samples[0]
+    pts0 = jnp.concatenate(
+        [jnp.asarray(s0.query_x), jnp.asarray(s0.query_occ)], axis=-1
+    )[None]
+    variables = model.init(key, pts0,
+                           view_harmonics=jnp.asarray(s0.view_harmonics)[None])
+    tx = optax.adam(lr)
+    opt_state = tx.init(variables)
+
+    @jax.jit
+    def step(variables, opt_state, pts, vh, cams, gt_cov):
+        def loss_fn(v):
+            h = model.apply(v, pts, view_harmonics=vh)
+            pred = coverage_gain(pts[..., :3], h, cams)
+            return loss_fn_cov(pred[..., None], gt_cov[..., None])
+
+        loss, grads = jax.value_and_grad(loss_fn)(variables)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(variables, updates), opt_state, loss
+
+    losses = []
+    for i in range(n_steps):
+        s = samples[i % len(samples)]
+        pts = jnp.concatenate(
+            [jnp.asarray(s.query_x), jnp.asarray(s.query_occ)], axis=-1
+        )[None]
+        variables, opt_state, loss = step(
+            variables, opt_state, pts, jnp.asarray(s.view_harmonics)[None],
+            jnp.asarray(s.candidate_cams)[None],
+            jnp.asarray(s.gt_coverage)[None],
+        )
+        losses.append(float(loss))
+        if verbose and i % 10 == 0:
+            print(f"vis step {i}: {cov_loss} {losses[-1]:.4f}")
+    return model, variables, losses

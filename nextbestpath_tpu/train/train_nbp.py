@@ -51,7 +51,7 @@ class TrainState:
 def init_train_state(model: NBP, key, lr: float = 1e-3,
                      accumulation_steps: int = 8) -> TrainState:
     x = jnp.zeros((1, 256, 256, 5))
-    variables = model.init(key, x, train=True)
+    variables = jax.jit(lambda k, xx: model.init(k, xx, train=True))(key, x)
     optimizer = make_optimizer(lr=lr, accumulation_steps=accumulation_steps)
     opt_state = optimizer.init(variables["params"])
     return TrainState(variables=variables, opt_state=opt_state,

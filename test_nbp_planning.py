@@ -55,8 +55,8 @@ def main():
                 generate_scene(diff.strip(), seed=args.seed + i), params=params))
 
     model = NBP()
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, 256, 256, 5)), train=False)
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 5)))
     if args.weights:
         variables, _, _, _ = load_checkpoint(args.weights, variables)
 

@@ -1,0 +1,120 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nextbestpath_tpu.geometry import CameraIntrinsics, get_camera_RT
+from nextbestpath_tpu.ops.depth_sample import (
+    grid_sample_bilinear,
+    signed_distance_to_depth,
+)
+from nextbestpath_tpu.sim import (
+    ProxyField,
+    SurfaceStore,
+    camera_coverage_gain,
+    carve_with_frame,
+)
+from nextbestpath_tpu.sim.rollout import interpolate_pose
+from nextbestpath_tpu.sim.sensor import PointBuffer, FramePoints
+from nextbestpath_tpu.train.replay import ReplayDB
+
+
+def test_grid_sample_matches_torch():
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(0)
+    img = rng.random((8, 12)).astype(np.float32)
+    gx = rng.uniform(-1, 1, (30,)).astype(np.float32)
+    gy = rng.uniform(-1, 1, (30,)).astype(np.float32)
+    want = F.grid_sample(
+        torch.from_numpy(img)[None, None],
+        torch.from_numpy(np.stack([gx, gy], -1))[None, :, None, :],
+        mode="bilinear", padding_mode="border", align_corners=False,
+    )[0, 0, :, 0].numpy()
+    got = np.asarray(grid_sample_bilinear(jnp.asarray(img), jnp.asarray(gx),
+                                          jnp.asarray(gy)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_signed_distance_sign():
+    intr = CameraIntrinsics(image_height=16, image_width=28, zfar=100.0)
+    R, T = get_camera_RT(jnp.zeros((1, 3)), jnp.asarray([[0.0, 0.0]]))
+    zbuf = jnp.full((16, 28), 10.0)  # flat wall at view z 10
+    pts = jnp.asarray([[0.0, 0.0, 5.0], [0.0, 0.0, 15.0]])
+    sgn = np.asarray(signed_distance_to_depth(pts, zbuf, R[0], T[0], intr))
+    assert sgn[0] < 0  # in front of the wall
+    assert sgn[1] > 0  # behind the wall
+
+
+def test_proxy_carving():
+    key = jax.random.PRNGKey(0)
+    intr = CameraIntrinsics(image_height=16, image_width=28, zfar=100.0)
+    field = ProxyField.create(key, jnp.asarray([-5.0, -5.0, 1.0]),
+                              jnp.asarray([5.0, 5.0, 20.0]), 256)
+    R, T = get_camera_RT(jnp.zeros((1, 3)), jnp.asarray([[0.0, 0.0]]))
+    zbuf = jnp.full((16, 28), 10.0)
+    out = carve_with_frame(field, zbuf, R[0], T[0], jnp.zeros(3), intr,
+                           carving_tolerance=0.0)
+    sup = np.asarray(out.supervision_occ[:, 0])
+    pts = np.asarray(field.points)
+    # Points clearly in front of the wall and in the fov should be carved to 0.
+    from nextbestpath_tpu.geometry import points_in_fov_mask
+    fov = np.asarray(points_in_fov_mask(field.points, R[0], T[0], intr))
+    front = fov & (pts[:, 2] < 9.0)
+    behind = fov & (pts[:, 2] > 11.0)
+    if front.sum():
+        assert sup[front].max() == 0.0
+    if behind.sum():
+        assert sup[behind].min() == 1.0
+    # Out-of-field flag cleared exactly for fov points.
+    np.testing.assert_array_equal(np.asarray(out.out_of_field[:, 0]) == 0.0, fov)
+
+
+def test_surface_store_dedup_and_gain():
+    store = SurfaceStore.create(1024, [0.0, 0.0, 0.0], [10.0, 10.0, 10.0], 0.5)
+    pts = jnp.asarray([[1.0, 1.0, 1.0], [1.1, 1.05, 1.0], [5.0, 5.0, 5.0]])
+    store = store.fill(pts, jnp.ones(3, bool))
+    # First two share a voxel -> deduplicated.
+    assert int(store.count) == 2
+    gain, store = camera_coverage_gain(store, pts[:1], jnp.ones(1, bool), 1.0)
+    assert float(gain) == 1.0  # one stored point within eps of the batch
+    gain2, store = camera_coverage_gain(store, pts[:1], jnp.ones(1, bool), 1.0)
+    assert float(gain2) == 0.0  # already covered
+
+
+def test_interpolate_pose_wraparound():
+    old = jnp.asarray([0.0, 0.0, 0.0, 0.0, 315.0])  # azim idx 7 of 8
+    new = jnp.asarray([3.0, 0.0, 0.0, 0.0, 0.0])    # azim idx 0
+    mid = interpolate_pose(old, new, jnp.int32(2), 4, 8)
+    # Short way: 315 -> 360, at half-way ~337.5 (not 157.5).
+    assert abs(float(mid[4]) - 337.5) < 1e-4
+    final = interpolate_pose(old, new, jnp.int32(4), 4, 8)
+    assert abs(float(final[4]) - 0.0) < 1e-5
+
+
+def test_point_buffer_append():
+    buf = PointBuffer.create(16)
+    pts = jnp.arange(30).reshape(10, 3).astype(jnp.float32)
+    valid = jnp.asarray([True, False, True] * 3 + [True])
+    buf = buf.append(FramePoints(points=pts, valid=valid))
+    assert int(buf.count) == int(valid.sum())
+    got = np.asarray(buf.points[: int(buf.count)])
+    want = np.asarray(pts)[np.asarray(valid)]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_replay_db_roundtrip(tmp_path):
+    db = ReplayDB()
+    for i in range(10):
+        db.append(np.zeros((5, 256, 256), np.float16),
+                  np.zeros((256, 256), np.uint8),
+                  np.asarray([[1, 2, 3]], np.int32),
+                  np.asarray([0.5], np.float32), pose_i=i)
+    val = db.extract_validation(num=3)
+    assert len(val) == 3 and len(db) == 7
+    path = str(tmp_path / "db.npz")
+    db.save(path)
+    db2 = ReplayDB(path)
+    assert len(db2) == 7
+    combined = db2.read_combined(last_n=4, sample_size=2)
+    assert len(combined) == 6
