@@ -41,6 +41,7 @@ def main():
     from nextbestpath_tpu.assets import generate_scene, pack_generated_scene
     from nextbestpath_tpu.config import default_params
     from nextbestpath_tpu.eval import NBPPlanningRollout
+    from nextbestpath_tpu.eval.scan_rollout import ScanRollout
     from nextbestpath_tpu.models import NBP
     import jax.numpy as jnp
 
@@ -76,17 +77,14 @@ def main():
     variables = dict(variables)
     variables["params"] = params_dict
 
-    # Warmup rollout compiles everything.
-    print("# init done, building warmup rollout", file=sys.stderr, flush=True)
-    warm = NBPPlanningRollout(assets, model, variables, params=params,
-                              seed=args.seed)
-    print("# warmup rollout constructed", file=sys.stderr, flush=True)
-    warm.run(n_poses=args.warmup_poses, verbose=True)
+    # Fully-jitted scan rollout (one device program per rollout).
+    print("# init done, building scan rollout", file=sys.stderr, flush=True)
+    rollout = ScanRollout(assets, model, variables, params=params)
+    print("# scan rollout constructed; warmup (compiles)", file=sys.stderr,
+          flush=True)
+    rollout.run(n_poses=poses, seed=args.seed)  # compile + warmup
     print("# warmup done", file=sys.stderr, flush=True)
-
-    rollout = NBPPlanningRollout(assets, model, variables, params=params,
-                                 seed=args.seed + 1)
-    res = rollout.run(n_poses=poses, verbose=False)
+    res = rollout.run(n_poses=poses, seed=args.seed + 1)
 
     value = res.steps_per_sec
     print(json.dumps({

@@ -12,3 +12,4 @@ from .scene_assets import (
     pack_generated_scene,
     pack_scene,
 )
+from .dataset import SceneDataset, get_dataloader

@@ -8,3 +8,4 @@ from .rollout import (
 from .tables import SceneTables, build_scene_tables
 from .proxy import ProxyField, camera_collides, carve_with_frame
 from .surface_store import SurfaceStore, camera_coverage_gain, scene_coverage
+from .memory import Memory

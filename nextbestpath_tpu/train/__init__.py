@@ -8,3 +8,17 @@ from .train_nbp import (
     train_nbp,
     validate,
 )
+from .driver import run_training_nbp
+from .pretrain_scone import (
+    PretrainSample,
+    make_pretrain_sample,
+    pretrain_scone_occ,
+    pretrain_scone_vis,
+)
+from .train_macarons import MacaronsTrainState, train_macarons_online
+from .depth_losses import (
+    error_mask_from_disparity,
+    photometric_loss,
+    regularity_loss,
+    ssim,
+)

@@ -1,0 +1,31 @@
+"""The fully-jitted scan rollout must behave like a rollout: coverage grows,
+shapes are static, and the whole thing runs as one compiled program."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nextbestpath_tpu.assets import generate_scene, pack_generated_scene
+from nextbestpath_tpu.config import default_params
+from nextbestpath_tpu.eval.scan_rollout import ScanRollout
+from nextbestpath_tpu.models import NBP
+
+
+@pytest.mark.slow
+def test_scan_rollout_smoke():
+    params = default_params(
+        image_height=32, image_width=56, points_per_frame=256,
+        full_pc_capacity=32768, n_gt_surface_points=2048, max_path_len=32,
+    )
+    scn = generate_scene("simple", seed=2)
+    assets = pack_generated_scene(scn, params=params)
+    model = NBP()
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 5)))
+    rollout = ScanRollout(assets, model, variables, params=params)
+    res = rollout.run(n_poses=3, seed=8)
+    assert len(res.coverage_evolution) == 3
+    assert res.coverage_evolution[0] > 0.0
+    assert res.coverage_evolution[-1] >= res.coverage_evolution[0] - 1e-6
+    assert res.n_points > 500
