@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--difficulty", default="simple")
     ap.add_argument("--quick", action="store_true",
                     help="small camera + few poses (CI smoke)")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="number of scenes rolled out in parallel (vmap)")
     ap.add_argument("--seed", type=int, default=8)
     args = ap.parse_args()
 
@@ -41,7 +43,7 @@ def main():
     from nextbestpath_tpu.assets import generate_scene, pack_generated_scene
     from nextbestpath_tpu.config import default_params
     from nextbestpath_tpu.eval import NBPPlanningRollout
-    from nextbestpath_tpu.eval.scan_rollout import ScanRollout
+    from nextbestpath_tpu.eval.scan_rollout import BatchedScanRollout, ScanRollout
     from nextbestpath_tpu.models import NBP
     import jax.numpy as jnp
 
@@ -55,8 +57,13 @@ def main():
         params = default_params()
         poses = args.poses
 
-    scn = generate_scene(args.difficulty, seed=args.seed)
-    assets = pack_generated_scene(scn, params=params)
+    all_assets = [
+        pack_generated_scene(generate_scene(args.difficulty,
+                                            seed=args.seed + i),
+                             params=params)
+        for i in range(args.batch)
+    ]
+    assets = all_assets[0]
     model = NBP()
     # Jit the init: eager flax init dispatches each conv separately, which is
     # minutes-slow over the remote-TPU tunnel.
@@ -77,14 +84,24 @@ def main():
     variables = dict(variables)
     variables["params"] = params_dict
 
-    # Fully-jitted scan rollout (one device program per rollout).
+    # Fully-jitted scan rollout (one device program per rollout); vmapped
+    # over scenes when --batch > 1.
     print("# init done, building scan rollout", file=sys.stderr, flush=True)
-    rollout = ScanRollout(assets, model, variables, params=params)
-    print("# scan rollout constructed; warmup (compiles)", file=sys.stderr,
-          flush=True)
-    rollout.run(n_poses=poses, seed=args.seed)  # compile + warmup
-    print("# warmup done", file=sys.stderr, flush=True)
-    res = rollout.run(n_poses=poses, seed=args.seed + 1)
+    if args.batch > 1:
+        rollout = BatchedScanRollout(all_assets, model, variables,
+                                     params=params)
+        print("# batched rollout constructed; warmup (compiles)",
+              file=sys.stderr, flush=True)
+        rollout.run(n_poses=poses, seed=args.seed)
+        print("# warmup done", file=sys.stderr, flush=True)
+        res = rollout.run(n_poses=poses, seed=args.seed + 100)[0]
+    else:
+        rollout = ScanRollout(assets, model, variables, params=params)
+        print("# scan rollout constructed; warmup (compiles)", file=sys.stderr,
+              flush=True)
+        rollout.run(n_poses=poses, seed=args.seed)  # compile + warmup
+        print("# warmup done", file=sys.stderr, flush=True)
+        res = rollout.run(n_poses=poses, seed=args.seed + 1)
 
     value = res.steps_per_sec
     print(json.dumps({

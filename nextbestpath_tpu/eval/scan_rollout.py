@@ -80,6 +80,19 @@ def _memo_edge(memo: jnp.ndarray, a_lh: jnp.ndarray, b_lh: jnp.ndarray,
     return memo
 
 
+class SceneArrays(NamedTuple):
+    """Per-scene device constants, explicit so rollouts vmap over scenes."""
+
+    tri_soa: jnp.ndarray        # (9, F)
+    n_tris: jnp.ndarray         # scalar int32
+    gt: jnp.ndarray             # (G, 3)
+    gt_valid: jnp.ndarray       # (G,) bool (padding mask for batching)
+    positions: jnp.ndarray      # (L, H, 3)
+    gt_edge_blocked: jnp.ndarray  # (4, L, H)
+    y_bins: jnp.ndarray         # (n_pieces + 1,)
+    azims: jnp.ndarray          # (A,)
+
+
 class ScanState(NamedTuple):
     pc: PointBuffer
     traj: TrajectoryBuffer
@@ -128,20 +141,27 @@ class ScanRollout:
         self.L, self.H, self.A = assets.pose_l, assets.pose_h, assets.n_azim
         self.elev2 = float(assets.elevations_deg[2])
         self.azims = jnp.asarray(assets.azimuths_deg)
+        self.scene = SceneArrays(
+            tri_soa=self.tri_soa, n_tris=self.n_tris, gt=self.gt,
+            gt_valid=jnp.ones(self.gt.shape[0], bool),
+            positions=self.tables.positions,
+            gt_edge_blocked=self.tables.gt_edge_blocked,
+            y_bins=self.y_bins, azims=self.azims,
+        )
 
     # -- pose helpers -------------------------------------------------------
 
-    def _pose5(self, idx3: jnp.ndarray) -> jnp.ndarray:
-        pos = self.tables.positions[idx3[0], idx3[1]]
-        azim = self.azims[idx3[2]]
+    def _pose5(self, scene: SceneArrays, idx3: jnp.ndarray) -> jnp.ndarray:
+        pos = scene.positions[idx3[0], idx3[1]]
+        azim = scene.azims[idx3[2]]
         return jnp.asarray(
             [pos[0], pos[1], pos[2], self.elev2, 0.0], jnp.float32
         ).at[4].set(azim)
 
     # -- planning branch ----------------------------------------------------
 
-    def _plan(self, model_input, pc: PointBuffer, traj_img, cur_pose5, cur,
-              edge_memo, banned, visited_rot, key):
+    def _plan(self, scene: SceneArrays, model_input, pc: PointBuffer,
+              traj_img, cur_pose5, cur, edge_memo, banned, visited_rot, key):
         p = self.p
         L, H, A = self.L, self.H, self.A
         value_map, obstacle_map = self.model.apply(self.variables,
@@ -150,15 +170,15 @@ class ScanRollout:
                                       cur_pose5,
                                       img_size=int(p.pc2img_size[0]))
         scores = score_candidates_test(
-            self.tables.positions, cur_pose5[:3], value_map[0], proj256,
+            scene.positions, cur_pose5[:3], value_map[0], proj256,
             banned, value_map_size=int(p.value_map_size[0]),
             layout_size=int(p.pc2img_size[0]),
         )
         layout_blocked = layout_edge_blocked(
-            self.tables.positions, cur_pose5[:3], layout, L, H,
+            scene.positions, cur_pose5[:3], layout, L, H,
             layout_size=int(p.pc2img_size[0]),
         )
-        gt_eb = self.tables.gt_edge_blocked
+        gt_eb = scene.gt_edge_blocked
         max_len = int(p.max_path_len)
         cur_lh = cur[:2]
 
@@ -173,7 +193,7 @@ class ScanRollout:
                                                      H, max_len=max_len)
                 rots = pick_orientations(
                     path_arr, jnp.arange(max_len) < plen, value_map[0],
-                    self.tables.positions, cur_pose5[:3], visited_rot,
+                    scene.positions, cur_pose5[:3], visited_rot,
                     key, n_azim=A, value_map_size=int(p.value_map_size[0]),
                 )
                 first = path_arr[0]
@@ -216,25 +236,38 @@ class ScanRollout:
     # -- the scan step ------------------------------------------------------
 
     def make_step(self):
+        """step(state, pose_i) bound to this rollout's scene."""
+        scene_step = self.make_scene_step()
+
+        def step(state, pose_i):
+            return scene_step(self.scene, state, pose_i)
+
+        return step
+
+    def make_scene_step(self):
+        """step(scene, state, pose_i) with the scene as an explicit pytree
+        argument — vmap over a stacked SceneArrays batches rollouts."""
         p = self.p
         L, H, A = self.L, self.H, self.A
-        gt_eb = self.tables.gt_edge_blocked
 
-        def step(state: ScanState, pose_i):
+        def step(scene: SceneArrays, state: ScanState, pose_i):
+            gt_eb = scene.gt_edge_blocked
             key, k_cov, k_obs, k_rot, k_rot2, k_move, k_plan = (
                 jax.random.split(state.key, 7))
 
-            cov = coverage_percentage(self.gt, state.pc.points,
-                                      state.pc.count, k_cov)
-            cur_pose5 = self._pose5(state.cur)
+            cov = coverage_percentage(scene.gt, state.pc.points,
+                                      state.pc.count, k_cov,
+                                      fast_sampling=True,
+                                      gt_valid=scene.gt_valid)
+            cur_pose5 = self._pose5(scene, state.cur)
             pc = observe_current(
-                self.tri_soa, self.n_tris, cur_pose5, state.pc, k_obs,
+                scene.tri_soa, scene.n_tris, cur_pose5, state.pc, k_obs,
                 self.intr, n_slots=int(p.points_per_frame),
                 gathering_factor=float(p.gathering_factor),
                 sensor_range=float(p.sensor_range), interpret=self.interpret,
             )
             model_input, traj_img = build_model_input(
-                pc, state.traj, cur_pose5[:3], self.y_bins,
+                pc, state.traj, cur_pose5[:3], scene.y_bins,
                 n_pieces=int(p.n_pieces), img_size=int(p.pc2img_size[0]),
             )
 
@@ -272,9 +305,9 @@ class ScanRollout:
             )
 
             def do_plan(memo, bann):
-                return self._plan(model_input, pc, traj_img, cur_pose5,
-                                  state.cur, memo, bann, state.visited_rot,
-                                  k_plan)
+                return self._plan(scene, model_input, pc, traj_img,
+                                  cur_pose5, state.cur, memo, bann,
+                                  state.visited_rot, k_plan)
 
             def keep_plan(memo, bann):
                 return memo, bann, state.path, state.path_len
@@ -297,9 +330,9 @@ class ScanRollout:
             nxt = nxt.at[2].set(jnp.where(revisit & (~no_path), rand_rot2,
                                           nxt[2]))
 
-            new_pose5 = self._pose5(nxt)
+            new_pose5 = self._pose5(scene, nxt)
             pc, traj, _ = move_and_capture(
-                self.tri_soa, self.n_tris, cur_pose5, new_pose5, pc,
+                scene.tri_soa, scene.n_tris, cur_pose5, new_pose5, pc,
                 state.traj, k_move, self.intr,
                 n_steps=int(p.n_interpolation_steps), n_azim=A,
                 n_slots=int(p.points_per_frame),
@@ -327,7 +360,7 @@ class ScanRollout:
         start = self.assets.start_cam_idx
         cur = jnp.asarray([int(start[0]), int(start[2]), int(start[4])],
                           jnp.int32)
-        pose0 = self._pose5(cur)
+        pose0 = self._pose5(self.scene, cur)
         pc, traj, _ = move_and_capture(
             self.tri_soa, self.n_tris, pose0, pose0, pc, traj, k0, self.intr,
             n_steps=int(p.n_interpolation_steps), n_azim=self.A,
@@ -376,3 +409,106 @@ class ScanRollout:
             n_points=int(final.pc.count),
             steps_per_sec=n_poses / wall,
         )
+
+
+# ---------------------------------------------------------------------------
+# Batched rollouts: vmap over scenes (the reference's one-scene-per-GPU data
+# parallelism, SURVEY.md §2.3, expressed as a batch axis on one chip; shard
+# the same axis over a Mesh for multi-chip).
+# ---------------------------------------------------------------------------
+
+
+def _pad_gt(gt: np.ndarray, target: int):
+    pad = target - len(gt)
+    valid = np.zeros(target, bool)
+    valid[: len(gt)] = True
+    if pad > 0:
+        gt = np.concatenate([gt, np.full((pad, 3), 1e7, np.float32)])
+    return gt, valid
+
+
+class BatchedScanRollout:
+    """vmap the scan step over a batch of same-lattice scenes.
+
+    Tradeoff: under vmap, lax.cond lowers to both-branches execution, so the
+    plan-regeneration pipeline runs every pose for every scene (the
+    single-scene rollout only pays it on actual regens). Batched mode
+    therefore maximizes *throughput per program* only when plans regenerate
+    often; for sparse regens the single-scene rollout is faster per scene.
+    Sharding the scene axis over a multi-chip Mesh recovers linear scaling
+    either way."""
+
+    def __init__(self, assets_list, nbp_model: NBP, nbp_variables,
+                 params: Optional[Params] = None,
+                 interpret: Optional[bool] = None):
+        assert assets_list, "need at least one scene"
+        shapes = {(a.pose_l, a.pose_h, a.n_azim) for a in assets_list}
+        assert len(shapes) == 1, (
+            "batched rollouts need a common pose lattice; pad/buck scenes "
+            f"first (got {shapes})")
+        f_max = max(a.tris.shape[0] for a in assets_list)
+        g_max = max(len(a.gt_surface) for a in assets_list)
+
+        self.rollouts = [
+            ScanRollout(a, nbp_model, nbp_variables, params=params,
+                        interpret=interpret)
+            for a in assets_list
+        ]
+        base = self.rollouts[0]
+        self.p = base.p
+        self.n_scenes = len(assets_list)
+
+        scenes = []
+        for r, a in zip(self.rollouts, assets_list):
+            tri_soa = np.asarray(r.tri_soa)
+            if tri_soa.shape[1] < f_max:
+                pad = np.full((9, f_max - tri_soa.shape[1]), 1e8, np.float32)
+                tri_soa = np.concatenate([tri_soa, pad], axis=1)
+            gt, gt_valid = _pad_gt(np.asarray(r.gt), g_max)
+            scenes.append(SceneArrays(
+                tri_soa=jnp.asarray(tri_soa), n_tris=r.n_tris,
+                gt=jnp.asarray(gt), gt_valid=jnp.asarray(gt_valid),
+                positions=r.tables.positions,
+                gt_edge_blocked=r.tables.gt_edge_blocked,
+                y_bins=r.y_bins, azims=r.azims,
+            ))
+        self.scene_batch = jax.tree.map(lambda *xs: jnp.stack(xs), *scenes)
+        self._cache = {}
+
+    def _rollout_fn(self, n_poses: int):
+        if n_poses not in self._cache:
+            scene_step = self.rollouts[0].make_scene_step()
+            vstep = jax.vmap(scene_step, in_axes=(0, 0, None))
+
+            @jax.jit
+            def rollout(scene_batch, states):
+                def body(s, i):
+                    return vstep(scene_batch, s, i)
+
+                return jax.lax.scan(body, states, jnp.arange(n_poses))
+
+            self._cache[n_poses] = rollout
+        return self._cache[n_poses]
+
+    def run(self, n_poses: int = 101, seed: int = 8):
+        states = [r.initial_state(seed=seed + i, n_poses=n_poses)
+                  for i, r in enumerate(self.rollouts)]
+        batched = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+        rollout = self._rollout_fn(n_poses)
+        t1 = time.time()
+        final, coverage = rollout(self.scene_batch, batched)
+        coverage = np.asarray(coverage)  # (n_poses, n_scenes)
+        wall = time.time() - t1
+        results = []
+        for i in range(self.n_scenes):
+            curve = coverage[:, i]
+            results.append(RolloutResult(
+                coverage_evolution=[float(c) for c in curve],
+                auc=compute_auc(curve),
+                cam_positions=np.asarray(
+                    final.traj.xyz[i][: int(final.traj.count[i])]),
+                wall_time_s=wall,
+                n_points=int(final.pc.count[i]),
+                steps_per_sec=self.n_scenes * n_poses / wall,
+            ))
+        return results

@@ -68,21 +68,44 @@ def masked_min_dists(gt: jnp.ndarray, pts: jnp.ndarray, pts_valid: jnp.ndarray,
     return jnp.sqrt(jnp.maximum(best, 0.0))
 
 
+def stride_subsample(key: jax.Array, count: jnp.ndarray, capacity: int,
+                     n_sample: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """O(n_sample) random-ish subset of the valid prefix: random start +
+    large odd stride modulo count. Distinct indices whenever
+    gcd(stride, count) == 1 (odd stride vs arbitrary count: usually), and
+    uniform coverage of the prefix either way. Replaces the O(C log C)
+    argsort of subsample_buffer inside the scan rollout, where C reaches
+    2M per pose."""
+    c = jnp.maximum(count, 1)
+    start = jax.random.randint(key, (), 0, c)
+    stride = 2 * jax.random.randint(jax.random.fold_in(key, 1), (), 1,
+                                    jnp.maximum(c // 2, 2)) + 1
+    idx = jnp.mod(start + stride * jnp.arange(n_sample), c)
+    valid = jnp.arange(n_sample) < count
+    return idx.astype(jnp.int32), valid
+
+
 def coverage_percentage(gt: jnp.ndarray, pts: jnp.ndarray, count: jnp.ndarray,
                         key: jax.Array, threshold: float = 1.0,
                         weight: int = 2,
-                        gt_valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                        gt_valid: Optional[jnp.ndarray] = None,
+                        fast_sampling: bool = False) -> jnp.ndarray:
     """calculate_coverage_percentage over a fixed-capacity buffer.
 
     gt: (G, 3); pts: (C, 3) buffer with `count` valid rows. Returns a scalar
-    in [0, 1]; 0 when count == 0 (reference behavior).
+    in [0, 1]; 0 when count == 0 (reference behavior). fast_sampling swaps
+    the exact random-permutation subsample for the O(n) stride scheme
+    (statistically equivalent for the metric; used in the scan rollout).
     """
     g_count = gt.shape[0] if gt_valid is None else jnp.sum(gt_valid)
     n_sample = int(gt.shape[0]) * weight
     # Round up to a chunk multiple for the scan.
     chunk = 2048
     n_sample = ((n_sample + chunk - 1) // chunk) * chunk
-    idx, valid = subsample_buffer(key, count, pts.shape[0], n_sample)
+    if fast_sampling:
+        idx, valid = stride_subsample(key, count, pts.shape[0], n_sample)
+    else:
+        idx, valid = subsample_buffer(key, count, pts.shape[0], n_sample)
     sampled = pts[idx]
     dmin = masked_min_dists(gt, sampled, valid, chunk=chunk)
     close = (dmin < threshold).astype(jnp.float32)

@@ -29,3 +29,26 @@ def test_scan_rollout_smoke():
     assert res.coverage_evolution[0] > 0.0
     assert res.coverage_evolution[-1] >= res.coverage_evolution[0] - 1e-6
     assert res.n_points > 500
+
+
+@pytest.mark.slow
+def test_batched_scan_rollout_two_scenes():
+    from nextbestpath_tpu.eval.scan_rollout import BatchedScanRollout
+
+    params = default_params(
+        image_height=32, image_width=56, points_per_frame=256,
+        full_pc_capacity=32768, n_gt_surface_points=1024, max_path_len=32,
+    )
+    assets = [
+        pack_generated_scene(generate_scene("simple", seed=s), params=params)
+        for s in (2, 3)
+    ]
+    model = NBP()
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 5)))
+    batched = BatchedScanRollout(assets, model, variables, params=params)
+    results = batched.run(n_poses=2, seed=8)
+    assert len(results) == 2
+    for res in results:
+        assert len(res.coverage_evolution) == 2
+        assert res.coverage_evolution[0] > 0.0
