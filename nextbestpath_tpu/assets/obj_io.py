@@ -9,7 +9,7 @@ uniform gray vertex texture anyway — load_scene_with_texture:574-609).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

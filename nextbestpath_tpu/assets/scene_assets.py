@@ -18,7 +18,7 @@ import numpy as np
 
 from ..config import Params, Settings, default_params
 from .obj_io import load_obj
-from .procgen import GeneratedScene, generate_scene
+from .procgen import GeneratedScene
 from .sampling import (
     filter_faces_in_bbox,
     grid_capacity_cap,

@@ -26,7 +26,7 @@ import numpy as np
 
 from ..assets.scene_assets import SceneAssets
 from ..config import Params, default_params
-from ..geometry.cameras import CameraIntrinsics, get_camera_RT, points_in_fov_mask
+from ..geometry.cameras import CameraIntrinsics
 from ..models.harmonics import base_view_harmonics
 from ..models.scone import SconeOcc, SconeVis, coverage_gain
 from ..ops.coverage import compute_auc, coverage_percentage
@@ -153,7 +153,10 @@ def macarons_nbv_rollout(
         )
 
         # Visibility-gain harmonics once; coverage gain toward each neighbor.
-        vis_h = scone_vis.apply(vis_variables, norm(occ_tokens[None, :, :3]),
+        # SconeVis consumes 4-dim (x, y, z, occ) tokens (SconeVis.py:25-27).
+        occ_tokens_norm = jnp.concatenate(
+            [norm(occ_tokens[:, :3]), occ_tokens[:, 3:]], axis=-1)[None]
+        vis_h = scone_vis.apply(vis_variables, occ_tokens_norm,
                                 view_harmonics=vh)
 
         # Candidate neighbors: unit moves (4 dirs) x all azimuths + in-place
@@ -171,7 +174,7 @@ def macarons_nbv_rollout(
         X_cands = jnp.asarray(
             [np.concatenate([positions[c[0], c[1]]]) for c in cands]
         )
-        gains = coverage_gain(norm(occ_tokens[None, :, :3]), vis_h,
+        gains = coverage_gain(occ_tokens_norm[..., :3], vis_h,
                               norm(X_cands)[None])[0]
         best = int(jnp.argmax(gains))
         nxt = cands[best]

@@ -11,7 +11,6 @@ procedural objects used when ShapeNet is unavailable.
 
 from __future__ import annotations
 
-import time
 from typing import List, Optional
 
 import jax
@@ -20,7 +19,7 @@ import numpy as np
 
 from ..assets.scene_assets import SceneAssets
 from ..models.harmonics import base_view_harmonics
-from ..models.scone import SconeOcc, SconeVis, coverage_gain
+from ..models.scone import SconeVis, coverage_gain
 from ..ops.raytrace import ray_hits, tris_to_soa
 from ..ops.view_state import compute_view_harmonics, compute_view_state
 from ..train.pretrain_scone import cameras_on_sphere

@@ -22,7 +22,6 @@ jitted step since SimState is a fixed-shape pytree.
 
 from __future__ import annotations
 
-import functools
 import time
 from typing import NamedTuple, Optional, Tuple
 

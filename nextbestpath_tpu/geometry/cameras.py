@@ -37,7 +37,6 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .spherical import get_cartesian_coords
 
 DEFAULT_FOV_DEGREES = 60.0
 

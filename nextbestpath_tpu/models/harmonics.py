@@ -14,7 +14,7 @@ theta = -elev + pi/2, e.g. SconeVis.compute_visibilities).
 from __future__ import annotations
 
 import math
-from functools import lru_cache, reduce
+from functools import reduce
 from operator import mul
 from typing import Dict, Tuple
 

@@ -20,7 +20,6 @@ Components:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Optional, Tuple
 
 import flax.linen as nn

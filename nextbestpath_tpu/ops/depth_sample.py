@@ -11,7 +11,6 @@ the point lies behind the observed surface (the space-carving signal).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ U-Net, which fits on any chip (documented parity with the reference).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry.cameras import CameraIntrinsics
-from ..ops.raytrace import render_depth
 from .sensor import FramePoints, PointBuffer, backproject_sample, capture_depth
 
 

@@ -12,7 +12,6 @@ clamped to [znear, zfar] (long_term_utils.py:105-112), mask = zbuf > -1
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Tuple
 
 import jax

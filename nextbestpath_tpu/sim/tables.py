@@ -11,10 +11,8 @@ the ray kernel.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 
 from ..ops.raytrace import points_inside_mesh, segments_hit_mesh

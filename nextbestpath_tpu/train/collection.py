@@ -16,7 +16,6 @@ TPU-native deltas (behavior-preserving):
 
 from __future__ import annotations
 
-import functools
 from typing import List, Optional, Tuple
 
 import jax
@@ -29,7 +28,7 @@ from ..geometry.cameras import CameraIntrinsics
 from ..ops.coverage import coverage_percentage
 from ..ops.obstacle_map import gt_obstacle_map
 from ..ops.raytrace import tris_to_soa
-from ..ops.scatter2d import ego2d, height_bins, img_coords
+from ..ops.scatter2d import height_bins
 from ..planning.candidates import boltzmann_first, score_candidates_train
 from ..planning.grid_paths import (
     INF,

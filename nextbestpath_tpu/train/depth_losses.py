@@ -14,9 +14,7 @@ Ports of the reference's depth supervision stack:
 
 from __future__ import annotations
 
-import functools
-import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -28,8 +28,7 @@ import optax
 
 from ..assets.procgen import generate_scene
 from ..assets.scene_assets import pack_generated_scene
-from ..geometry.cameras import CameraIntrinsics, get_camera_RT
-from ..geometry.spherical import get_spherical_coords
+from ..geometry.cameras import CameraIntrinsics
 from ..models.harmonics import base_view_harmonics
 from ..models.scone import SconeOcc, SconeVis, coverage_gain
 from ..ops.raytrace import points_inside_mesh, tris_to_soa

@@ -22,7 +22,6 @@ through the same loss functions via sim.memory.Memory.
 from __future__ import annotations
 
 import dataclasses
-import time
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -32,10 +31,9 @@ import optax
 
 from ..assets.scene_assets import SceneAssets
 from ..config import Params, default_params
-from ..geometry.cameras import CameraIntrinsics, get_camera_RT
+from ..geometry.cameras import CameraIntrinsics
 from ..models.harmonics import base_view_harmonics
 from ..models.macarons import Macarons
-from ..models.manydepth import disparity_to_depth
 from ..models.scone import coverage_gain
 from ..ops.coverage import coverage_percentage
 from ..ops.raytrace import tris_to_soa
@@ -46,7 +44,6 @@ from ..sim.rollout import TrajectoryBuffer, move_and_capture
 from ..sim.sensor import PointBuffer, backproject_sample, capture_depth
 from ..sim.surface_store import SurfaceStore, camera_coverage_gain
 from ..sim.tables import build_scene_tables
-from .depth_losses import photometric_loss, regularity_loss
 from .pretrain_scone import uncentered_l1
 
 
@@ -169,8 +166,7 @@ def train_macarons_online(
             occ_loss = jnp.mean((occ_pred[0] - sup_occ) ** 2)
             tokens4 = jnp.concatenate([norm(proxy_pts), occ_pred[0]],
                                       axis=-1)[None]
-            h = vis_model.apply(vv, tokens4[..., :3] * 0 + tokens4[..., :3],
-                                view_harmonics=proxy_vh)
+            h = vis_model.apply(vv, tokens4, view_harmonics=proxy_vh)
             pred_gain = coverage_gain(tokens4[..., :3], h,
                                       norm(cand_cams)[None])
             cov_loss = uncentered_l1(pred_gain[..., None],
@@ -235,10 +231,10 @@ def train_macarons_online(
         tidx = jax.random.randint(next_key(), (n_tokens,), 0, cnt)
         pc_tokens = pc.points[tidx]
 
-        # NBV decision with the current model.
+        # NBV decision with the current model (4-dim x,y,z,occ tokens).
         h = vis_model.apply(
             state.model.vis_vars,
-            jnp.concatenate([norm(proxy_pts), sup_occ], -1)[None][..., :3],
+            jnp.concatenate([norm(proxy_pts), sup_occ], -1)[None],
             view_harmonics=vh)
         gains = coverage_gain(norm(proxy_pts)[None], h,
                               norm(jnp.asarray(cand_xyz))[None])[0]

@@ -13,8 +13,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-import json
-import os
 import random
 from typing import Any, Dict, List, Optional, Tuple
 

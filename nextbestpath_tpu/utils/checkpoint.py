@@ -10,7 +10,6 @@ import os
 import pickle
 from typing import Any, Dict
 
-import jax
 from flax import serialization
 
 

@@ -12,7 +12,6 @@ import contextlib
 from typing import Any, Dict, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 
