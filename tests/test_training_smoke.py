@@ -40,13 +40,17 @@ def test_train_step_runs_and_reduces_loss():
     state = init_train_state(model, jax.random.PRNGKey(0),
                              accumulation_steps=1)
     data = _fake_experiences(4, rng)
-    v0 = validate(model, state, data, batch_size=2)
-    for _ in range(3):
+    losses = []
+    for _ in range(12):
         state, tl = train_epoch(model, state, list(data), batch_size=2,
                                 current_epoch=2, rng=__import__("random").Random(0))
+        losses.append(tl)
     v1 = validate(model, state, data, batch_size=2)
-    assert np.isfinite(v0) and np.isfinite(v1)
-    assert v1 < v0  # overfits 4 samples quickly
+    assert all(np.isfinite(l) for l in losses) and np.isfinite(v1)
+    # Training loss overfits 4 fixed samples. Compare epoch means to ride out
+    # BatchNorm/shuffle noise. (Validation loss may lag: eval-mode BN running
+    # stats move slowly at momentum 0.99.)
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
 
 
 @pytest.mark.slow
