@@ -28,11 +28,12 @@ from ..assets.scene_assets import SceneAssets
 from ..config import Params, default_params
 from ..geometry.cameras import CameraIntrinsics
 from ..models.harmonics import base_view_harmonics
-from ..models.scone import SconeOcc, SconeVis, coverage_gain
+from ..models.scone import SconeOcc, SconeVis
 from ..ops.coverage import compute_auc, coverage_percentage
 from ..ops.raytrace import tris_to_soa
 from ..ops.view_state import compute_view_harmonics
 from ..planning.grid_paths import DIRS
+from ..sim.coverage_gain import predict_coverage_gain
 from ..sim.proxy import ProxyField, carve_with_frame
 from ..sim.rollout import TrajectoryBuffer, move_and_capture
 from ..sim.sensor import PointBuffer, capture_depth
@@ -131,9 +132,6 @@ def macarons_nbv_rollout(
         )
 
         # Occupancy prediction on a proxy-token sample.
-        proxy_tokens = _sample_tokens(next_key(), proxy.points,
-                                      jnp.ones(proxy.points.shape[0], bool),
-                                      n_proxy_tokens)
         pc_tokens = _sample_tokens(next_key(), pc.points, pc.valid_mask(),
                                    n_tokens)
         box_center = (sx_min + sx_max) / 2.0
@@ -148,20 +146,15 @@ def macarons_nbv_rollout(
         occ = scone_occ.apply(occ_variables, norm(pc_tokens)[None],
                               norm(proxy.points[vs_idx])[None], vh,
                               key=next_key())
-        occ_tokens = jnp.concatenate(
-            [proxy.points[vs_idx], occ[0]], axis=-1
-        )
 
-        # Visibility-gain harmonics once; coverage gain toward each neighbor.
-        # SconeVis consumes 4-dim (x, y, z, occ) tokens (SconeVis.py:25-27).
-        occ_tokens_norm = jnp.concatenate(
-            [norm(occ_tokens[:, :3]), occ_tokens[:, 3:]], axis=-1)[None]
-        vis_h = scone_vis.apply(vis_variables, occ_tokens_norm,
-                                view_harmonics=vh)
+        # Write predicted occupancy back to the proxy field (proxy_proba
+        # update, train_macarons.py:313-317) for the sampled tokens.
+        proxy = proxy._replace(
+            proba=proxy.proba.at[vs_idx].set(occ[0]))
 
-        # Candidate neighbors: unit moves (4 dirs) x all azimuths + in-place
-        # rotations are excluded (reference removes zero-translation
-        # neighbors, macarons_utils.py:2468-2470).
+        # Candidate neighbors: unit moves (4 dirs) x nearby azimuths
+        # (get_neighboring_poses_2d removes zero-translation neighbors,
+        # macarons_utils.py:2447-2471).
         cands: List[Tuple[int, int, int]] = []
         for d, (dl, dh) in enumerate(DIRS):
             nl, nh = cur[0] + dl, cur[1] + dh
@@ -171,11 +164,19 @@ def macarons_nbv_rollout(
         if not cands:
             cands = [(cur[0], cur[1], int(jax.random.randint(next_key(), (),
                                                              0, n_azim)))]
-        X_cands = jnp.asarray(
-            [np.concatenate([positions[c[0], c[1]]]) for c in cands]
+        cand_pose5 = jnp.asarray(np.stack([np.asarray(pose5(c)) for c in cands]))
+        # Fov-filtered, occupancy-weighted coverage-gain prediction
+        # (predict_coverage_gain_for_single_camera semantics).
+        gains = predict_coverage_gain(
+            next_key(), scone_vis, vis_variables,
+            proxy.points, proxy.proba,
+            compute_view_harmonics(proxy.view_states[None], base_h, h_polar,
+                                   n_elev_vs, n_azim_vs)[0],
+            cand_pose5, intr, sx_min, sx_max,
+            sensor_range=float(p.sensor_range),
+            seq_len=min(int(p.seq_len), 1024),
+            min_occ=float(p.get("min_occ_for_proxy_points", 0.1)),
         )
-        gains = coverage_gain(occ_tokens_norm[..., :3], vis_h,
-                              norm(X_cands)[None])[0]
         best = int(jnp.argmax(gains))
         nxt = cands[best]
 

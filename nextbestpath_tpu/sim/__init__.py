@@ -9,3 +9,4 @@ from .tables import SceneTables, build_scene_tables
 from .proxy import ProxyField, camera_collides, carve_with_frame
 from .surface_store import SurfaceStore, camera_coverage_gain, scene_coverage
 from .memory import Memory
+from .coverage_gain import predict_coverage_gain, sample_proxy_points

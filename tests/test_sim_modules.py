@@ -118,3 +118,16 @@ def test_replay_db_roundtrip(tmp_path):
     assert len(db2) == 7
     combined = db2.read_combined(last_n=4, sample_size=2)
     assert len(combined) == 6
+
+
+def test_sample_proxy_points_weighting():
+    from nextbestpath_tpu.sim import sample_proxy_points
+
+    key = jax.random.PRNGKey(0)
+    pts = jnp.zeros((100, 3))
+    occ = jnp.concatenate([jnp.full((50, 1), 0.9), jnp.full((50, 1), 0.05)])
+    mask = jnp.ones(100, bool)
+    idx = np.asarray(sample_proxy_points(key, pts, occ, mask, 256,
+                                         min_occ=0.1))
+    # Low-occupancy half (occ 0.05 < min_occ) never sampled.
+    assert (idx < 50).all()
