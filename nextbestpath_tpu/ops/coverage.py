@@ -44,7 +44,7 @@ def subsample_buffer(key: jax.Array, count: jnp.ndarray, capacity: int,
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
 def masked_min_dists(gt: jnp.ndarray, pts: jnp.ndarray, pts_valid: jnp.ndarray,
-                     chunk: int = 2048) -> jnp.ndarray:
+                     chunk: int = 8192) -> jnp.ndarray:
     """Min Euclidean distance from each GT point to the valid pts. (G,)."""
     center = jnp.mean(gt, axis=0)
     g = gt - center
@@ -98,10 +98,15 @@ def coverage_percentage(gt: jnp.ndarray, pts: jnp.ndarray, count: jnp.ndarray,
     (statistically equivalent for the metric; used in the scan rollout).
     """
     g_count = gt.shape[0] if gt_valid is None else jnp.sum(gt_valid)
-    n_sample = int(gt.shape[0]) * weight
-    # Round up to a chunk multiple for the scan.
-    chunk = 2048
-    n_sample = ((n_sample + chunk - 1) // chunk) * chunk
+    raw = int(gt.shape[0]) * weight
+    # Round up to a chunk multiple for the scan. Wide chunks keep the MXU
+    # busy with few serial scan steps (the metric runs every pose); small
+    # problems (or small buffers) fall back to narrow chunks.
+    capacity = int(pts.shape[0])
+    chunk = 8192 if (raw >= 8192 and capacity >= 8192) else 2048
+    n_sample = ((raw + chunk - 1) // chunk) * chunk
+    if n_sample > capacity:
+        n_sample = max((capacity // chunk) * chunk, chunk)
     if fast_sampling:
         idx, valid = stride_subsample(key, count, pts.shape[0], n_sample)
     else:
