@@ -64,7 +64,9 @@ def main():
         for i in range(args.batch)
     ]
     assets = all_assets[0]
-    model = NBP()
+    # bf16 conv compute (the reference trains under fp16 AMP,
+    # nbp_utils.py:342-345); BatchNorm and outputs stay f32.
+    model = NBP(dtype=jnp.bfloat16)
     # Jit the init: eager flax init dispatches each conv separately, which is
     # minutes-slow over the remote-TPU tunnel.
     variables = jax.jit(lambda k, x: model.init(k, x, train=False))(

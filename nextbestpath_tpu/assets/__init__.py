@@ -8,6 +8,7 @@ from .sampling import (
 )
 from .scene_assets import (
     SceneAssets,
+    mirror_scene,
     load_scene_dir,
     pack_generated_scene,
     pack_scene,

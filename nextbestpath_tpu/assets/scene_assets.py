@@ -28,6 +28,28 @@ from .sampling import (
 GRAY = 0.8  # uniform vertex color used by load_scene_with_texture (:583-597)
 
 
+def mirror_scene(verts: np.ndarray, settings: Settings, mirrored_axis):
+    """Mirror a scene on the given axes.
+
+    Reference: load_scene_with_texture(mirror=True) negates the vertex
+    coordinates (macarons_utils.py:574-609) and Camera/Scene bounding boxes
+    swap-negate per axis (Camera.__init__ :2232-2237, Scene.__init__
+    :3066-3072). Triangle winding flips with an odd number of mirrored axes;
+    the double-sided ray kernel is insensitive to winding, so faces are left
+    as-is.
+    """
+    verts = np.array(verts, copy=True)
+    import copy as _copy
+
+    settings = _copy.deepcopy(settings)
+    for axis in mirrored_axis:
+        verts[:, axis] = -verts[:, axis]
+        for box in (settings.scene, settings.camera):
+            lo, hi = box.x_min[axis], box.x_max[axis]
+            box.x_min[axis], box.x_max[axis] = -hi, -lo
+    return verts, settings
+
+
 @dataclasses.dataclass
 class SceneAssets:
     """Everything a rollout needs about one scene, as padded numpy arrays."""
@@ -106,6 +128,7 @@ def pack_scene(
     params: Optional[Params] = None,
     pad_tris_to: Optional[int] = None,
     seed: int = 0,
+    mirrored_axis=None,
 ) -> SceneAssets:
     """Pack a world-scale mesh + settings into SceneAssets.
 
@@ -115,6 +138,8 @@ def pack_scene(
     """
     params = params or default_params()
     rng = np.random.default_rng(seed)
+    if mirrored_axis:
+        verts, settings = mirror_scene(verts, settings, mirrored_axis)
 
     tris = verts[faces.astype(np.int64)]  # (F, 3, 3)
     tris_padded, n_tris = _pad_tris(tris.astype(np.float32), pad_tris_to)
@@ -172,7 +197,8 @@ def pack_generated_scene(scene: GeneratedScene, params: Optional[Params] = None,
 
 
 def load_scene_dir(scene_dir: str, params: Optional[Params] = None,
-                   pad_tris_to: Optional[int] = None) -> SceneAssets:
+                   pad_tris_to: Optional[int] = None,
+                   mirrored_axis=None) -> SceneAssets:
     """Load a reference-format scene directory: one .obj + settings.json.
 
     Mirrors SceneDataset.__getitem__ (CustomDataset.py:336-363): coordinates
@@ -196,5 +222,5 @@ def load_scene_dir(scene_dir: str, params: Optional[Params] = None,
     return pack_scene(
         verts, faces, settings, start,
         name=os.path.basename(scene_dir.rstrip("/")),
-        params=params, pad_tris_to=pad_tris_to,
+        params=params, pad_tris_to=pad_tris_to, mirrored_axis=mirrored_axis,
     )

@@ -113,7 +113,11 @@ class ScanRollout:
     def __init__(self, assets: SceneAssets, nbp_model: NBP, nbp_variables,
                  params: Optional[Params] = None,
                  interpret: Optional[bool] = None,
-                 max_plan_retries: int = 4):
+                 max_plan_retries: int = 4,
+                 ablate: Tuple[str, ...] = ()):
+        # ablate: profiling switch ('coverage' | 'plan' | 'capture' |
+        # 'model_input') removes a stage from the step to attribute cost.
+        self.ablate = tuple(ablate)
         self.p = params or default_params()
         p = self.p
         self.assets = assets
@@ -249,15 +253,20 @@ class ScanRollout:
         p = self.p
         L, H, A = self.L, self.H, self.A
 
+        ablate = self.ablate
+
         def step(scene: SceneArrays, state: ScanState, pose_i):
             gt_eb = scene.gt_edge_blocked
             key, k_cov, k_obs, k_rot, k_rot2, k_move, k_plan = (
                 jax.random.split(state.key, 7))
 
-            cov = coverage_percentage(scene.gt, state.pc.points,
-                                      state.pc.count, k_cov,
-                                      fast_sampling=True,
-                                      gt_valid=scene.gt_valid)
+            if "coverage" in ablate:
+                cov = jnp.float32(0.0)
+            else:
+                cov = coverage_percentage(scene.gt, state.pc.points,
+                                          state.pc.count, k_cov,
+                                          fast_sampling=True,
+                                          gt_valid=scene.gt_valid)
             cur_pose5 = self._pose5(scene, state.cur)
             pc = observe_current(
                 scene.tri_soa, scene.n_tris, cur_pose5, state.pc, k_obs,
@@ -265,10 +274,15 @@ class ScanRollout:
                 gathering_factor=float(p.gathering_factor),
                 sensor_range=float(p.sensor_range), interpret=self.interpret,
             )
-            model_input, traj_img = build_model_input(
-                pc, state.traj, cur_pose5[:3], scene.y_bins,
-                n_pieces=int(p.n_pieces), img_size=int(p.pc2img_size[0]),
-            )
+            if "model_input" in ablate:
+                S = int(p.pc2img_size[0])
+                model_input = jnp.zeros((1, S, S, int(p.n_pieces) + 1))
+                traj_img = jnp.zeros((S, S))
+            else:
+                model_input, traj_img = build_model_input(
+                    pc, state.traj, cur_pose5[:3], scene.y_bins,
+                    n_pieces=int(p.n_pieces), img_size=int(p.pc2img_size[0]),
+                )
 
             # Regen condition + collision memo (nbp_planning.py:134-160).
             path_exhausted = state.path_record >= state.path_len
@@ -311,6 +325,8 @@ class ScanRollout:
             def keep_plan(memo, bann):
                 return memo, bann, state.path, state.path_len
 
+            if "plan" in ablate:
+                do_plan = keep_plan
             edge_memo, banned, path, path_len = jax.lax.cond(
                 regen, do_plan, keep_plan, edge_memo, banned)
             path_record = jnp.where(regen, 0, state.path_record)

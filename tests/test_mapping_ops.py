@@ -132,3 +132,21 @@ def test_plane_section_and_raster():
     # Segment row: -(z-cz) = -5 -> row = round((-5+40)*3.2) = 112
     assert img[112].sum() > 20  # a horizontal line of pixels
     assert img.sum() == img[112].sum()  # only that row
+
+
+def test_mirror_scene_flips_geometry():
+    from nextbestpath_tpu.assets import generate_scene, pack_generated_scene
+    from nextbestpath_tpu.assets.scene_assets import mirror_scene, pack_scene
+
+    scn = generate_scene("simple", seed=3)
+    v2, s2 = mirror_scene(scn.verts, scn.settings, [0])
+    assert (v2[:, 0] == -scn.verts[:, 0]).all()
+    assert (v2[:, 1:] == scn.verts[:, 1:]).all()
+    assert s2.camera.x_min[0] == -scn.settings.camera.x_max[0]
+    assert s2.camera.x_max[0] == -scn.settings.camera.x_min[0]
+    # Packing a mirrored scene keeps a sane GT pc inside the flipped bbox.
+    assets = pack_scene(scn.verts, scn.faces, scn.settings,
+                        scn.start_cam_idx, mirrored_axis=[0])
+    gx = assets.gt_surface[:, 0]
+    assert gx.min() >= s2.scene.x_min[0] - 0.5
+    assert gx.max() <= s2.scene.x_max[0] + 0.5

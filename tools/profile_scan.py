@@ -1,0 +1,37 @@
+"""Attribute scan-rollout per-pose cost by stage ablation (debug utility).
+
+Each configuration compiles its own program (~minutes through the remote
+compiler), so this is a coarse but reliable profiler for the tunnel setup
+where jax.profiler traces are unavailable.
+"""
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+from nextbestpath_tpu.assets import generate_scene, pack_generated_scene
+from nextbestpath_tpu.config import default_params
+from nextbestpath_tpu.eval.scan_rollout import ScanRollout
+from nextbestpath_tpu.models import NBP
+
+POSES = 20
+params = default_params()
+assets = pack_generated_scene(generate_scene("simple", seed=8), params=params)
+model = NBP()
+variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+    jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 5)))
+
+for ablate in [(), ("coverage",), ("plan",), ("model_input",),
+               ("coverage", "plan", "model_input")]:
+    r = ScanRollout(assets, model, variables, params=params, ablate=ablate)
+    r.run(n_poses=POSES, seed=8)  # compile
+    t0 = time.time()
+    res = r.run(n_poses=POSES, seed=9)
+    dt = time.time() - t0
+    print(f"ablate={ablate!r:45s} {POSES / dt:7.2f} poses/s "
+          f"({1000 * dt / POSES:6.1f} ms/pose)", flush=True)
