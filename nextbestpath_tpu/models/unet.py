@@ -170,11 +170,13 @@ class NBP(nn.Module):
 def nbp_loss(log_vars: jnp.ndarray, pred_values: jnp.ndarray,
              target_values: jnp.ndarray, pred_layout: jnp.ndarray,
              target_layout: jnp.ndarray,
-             value_weight: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+             value_weight: Optional[jnp.ndarray] = None,
+             sample_weight: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Homoscedastic two-task loss (nbp_model.py:162-173).
 
     loss = MSE(values) / (2 sigma1^2) + lv0 + BCE(layout) / sigma2^2 + lv1,
-    sigma_i^2 = exp(2 lv_i). `value_weight` masks padded value-pixel slots.
+    sigma_i^2 = exp(2 lv_i). `value_weight` masks padded value-pixel slots;
+    `sample_weight` (B,) masks padded batch rows in the layout BCE.
     """
     sigma1_sq = jnp.exp(2.0 * log_vars[0])
     sigma2_sq = jnp.exp(2.0 * log_vars[1])
@@ -185,7 +187,14 @@ def nbp_loss(log_vars: jnp.ndarray, pred_values: jnp.ndarray,
         mse = jnp.mean(se)
     eps = 1e-7
     p = jnp.clip(pred_layout, eps, 1.0 - eps)
-    bce = -jnp.mean(target_layout * jnp.log(p) + (1.0 - target_layout) * jnp.log(1.0 - p))
+    bce_map = -(target_layout * jnp.log(p)
+                + (1.0 - target_layout) * jnp.log(1.0 - p))
+    if sample_weight is not None:
+        per_sample = jnp.mean(bce_map.reshape(bce_map.shape[0], -1), axis=-1)
+        bce = jnp.sum(per_sample * sample_weight) / jnp.maximum(
+            jnp.sum(sample_weight), 1.0)
+    else:
+        bce = jnp.mean(bce_map)
     loss1 = mse / (2.0 * sigma1_sq) + log_vars[0]
     loss2 = bce / sigma2_sq + log_vars[1]
     return loss1 + loss2

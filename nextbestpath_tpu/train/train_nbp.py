@@ -26,10 +26,11 @@ from ..models.unet import NBP, nbp_loss
 from .replay import Experience, ReplayDB
 
 MAX_PIXELS = 64  # pad width for per-experience target pixel lists
+MICRO_BATCH = 8  # fixed device batch: one compile, fits v5e HBM at 256^2
 
 
 def make_optimizer(lr: float = 1e-3, weight_decay: float = 0.01,
-                   accumulation_steps: int = 8):
+                   accumulation_steps: int = 7):
     """AdamW + gradient accumulation + host-controlled LR scale."""
     opt = optax.inject_hyperparams(optax.adamw)(
         learning_rate=lr, b1=0.9, b2=0.999, eps=1e-8,
@@ -47,7 +48,11 @@ class TrainState:
 
 
 def init_train_state(model: NBP, key, lr: float = 1e-3,
-                     accumulation_steps: int = 8) -> TrainState:
+                     accumulation_steps: int = 7) -> TrainState:
+    """accumulation_steps counts MICRO batches: the default 7 x micro 8
+    reconstructs the reference's logical batch of 56 per optimizer step
+    (nbp_batch_size, configs/nbp/...json:154). For the reference's extra
+    8-batch GradScaler accumulation (effective 448) pass 56."""
     x = jnp.zeros((1, 256, 256, 5))
     variables = jax.jit(lambda k, xx: model.init(k, xx, train=True))(key, x)
     optimizer = make_optimizer(lr=lr, accumulation_steps=accumulation_steps)
@@ -56,20 +61,28 @@ def init_train_state(model: NBP, key, lr: float = 1e-3,
                       optimizer=optimizer, lr=lr)
 
 
-def _batch_arrays(batch: List[Experience]) -> Dict[str, np.ndarray]:
-    B = len(batch)
-    x = np.stack([e.model_input.astype(np.float32) for e in batch])  # (B,5,S,S)
-    x = x.transpose(0, 2, 3, 1)  # NHWC
-    layout = np.stack([e.gt_layout.astype(np.float32) for e in batch])[..., None]
+def _batch_arrays(batch: List[Experience],
+                  pad_to: Optional[int] = None) -> Dict[str, np.ndarray]:
+    """Fixed-shape batch arrays; rows beyond len(batch) are zero-weighted
+    padding (one compiled program regardless of ragged batch tails)."""
+    B = pad_to or len(batch)
+    S = batch[0].gt_layout.shape[0]
+    x = np.zeros((B, S, S, 5), np.float32)
+    layout = np.zeros((B, S, S, 1), np.float32)
     pixels = np.zeros((B, MAX_PIXELS, 3), np.int32)
     gains = np.zeros((B, MAX_PIXELS), np.float32)
     weights = np.zeros((B, MAX_PIXELS), np.float32)
+    sample_w = np.zeros((B,), np.float32)
     for i, e in enumerate(batch):
+        x[i] = e.model_input.astype(np.float32).transpose(1, 2, 0)
+        layout[i, :, :, 0] = e.gt_layout.astype(np.float32)
         k = min(len(e.gains), MAX_PIXELS)
         pixels[i, :k] = e.pixels[:k]
         gains[i, :k] = e.gains[:k]
         weights[i, :k] = 1.0
-    return dict(x=x, layout=layout, pixels=pixels, gains=gains, weights=weights)
+        sample_w[i] = 1.0
+    return dict(x=x, layout=layout, pixels=pixels, gains=gains,
+                weights=weights, sample_weight=sample_w)
 
 
 def _gather_pred_values(value_map: jnp.ndarray, pixels: jnp.ndarray):
@@ -91,7 +104,8 @@ def _train_step(model: NBP, optimizer, variables, opt_state, lr_scale, batch):
         )
         pred_vals = _gather_pred_values(vm, batch["pixels"])
         loss = nbp_loss(params["log_vars"], pred_vals, batch["gains"],
-                        om, batch["layout"], value_weight=batch["weights"])
+                        om, batch["layout"], value_weight=batch["weights"],
+                        sample_weight=batch["sample_weight"])
         return loss, mutated
 
     (loss, mutated), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -114,16 +128,27 @@ def _eval_step(model: NBP, variables, batch):
         jnp.sum(w), 1.0)
     eps = 1e-7
     p_clip = jnp.clip(om, eps, 1 - eps)
-    bce = -jnp.mean(batch["layout"] * jnp.log(p_clip)
-                    + (1 - batch["layout"]) * jnp.log(1 - p_clip))
+    bce_map = -(batch["layout"] * jnp.log(p_clip)
+                + (1 - batch["layout"]) * jnp.log(1 - p_clip))
+    per_sample = jnp.mean(bce_map.reshape(bce_map.shape[0], -1), axis=-1)
+    sw = batch["sample_weight"]
+    bce = jnp.sum(per_sample * sw) / jnp.maximum(jnp.sum(sw), 1.0)
     return mse + bce
 
 
 def train_epoch(model: NBP, state: TrainState, data: List[Experience],
                 batch_size: int, current_epoch: int,
-                rng: random.Random) -> Tuple[TrainState, float]:
-    """One pass over the data (train_experience_data, nbp_utils.py:340-428)."""
+                rng: random.Random,
+                micro_batch: int = MICRO_BATCH) -> Tuple[TrainState, float]:
+    """One pass over the data (train_experience_data, nbp_utils.py:340-428).
+
+    Logical batches of `batch_size` are processed as fixed-shape micro
+    batches of `micro_batch` (gradient accumulation through optax.MultiSteps
+    handles the averaging; fixed shapes keep a single compiled program and
+    fit the 55M-param U-Net in v5e HBM).
+    """
     rng.shuffle(data)
+    micro = min(micro_batch, batch_size)
     losses = []
     for i in range(0, len(data), batch_size):
         batch = [
@@ -132,23 +157,30 @@ def train_epoch(model: NBP, state: TrainState, data: List[Experience],
         ]
         if not batch:
             continue
-        arrays = {k: jnp.asarray(v) for k, v in _batch_arrays(batch).items()}
-        new_vars, new_opt, loss = _train_step(
-            model, state.optimizer, state.variables, state.opt_state,
-            jnp.float32(1.0), arrays,
-        )
-        state = dataclasses.replace(state, variables=new_vars,
-                                    opt_state=new_opt)
-        losses.append(float(loss))
+        for j in range(0, len(batch), micro):
+            arrays = {
+                k: jnp.asarray(v)
+                for k, v in _batch_arrays(batch[j: j + micro],
+                                          pad_to=micro).items()
+            }
+            new_vars, new_opt, loss = _train_step(
+                model, state.optimizer, state.variables, state.opt_state,
+                jnp.float32(1.0), arrays,
+            )
+            state = dataclasses.replace(state, variables=new_vars,
+                                        opt_state=new_opt)
+            losses.append(float(loss))
     return state, float(np.mean(losses)) if losses else 0.0
 
 
 def validate(model: NBP, state: TrainState, data: List[Experience],
-             batch_size: int) -> float:
+             batch_size: int, micro_batch: int = MICRO_BATCH) -> float:
+    micro = min(micro_batch, batch_size)
     losses = []
-    for i in range(0, len(data), batch_size):
-        batch = data[i: i + batch_size]
-        arrays = {k: jnp.asarray(v) for k, v in _batch_arrays(batch).items()}
+    for i in range(0, len(data), micro):
+        batch = data[i: i + micro]
+        arrays = {k: jnp.asarray(v)
+                  for k, v in _batch_arrays(batch, pad_to=micro).items()}
         losses.append(float(_eval_step(model, state.variables, arrays)))
     return float(np.mean(losses)) if losses else 0.0
 
