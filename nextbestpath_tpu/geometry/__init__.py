@@ -1,4 +1,5 @@
-from .spherical import get_cartesian_coords, get_spherical_coords
+from .spherical import (get_cartesian_coords, get_spherical_coords,
+                        sample_cameras_on_sphere)
 from .cameras import (
     CameraIntrinsics,
     camera_center,

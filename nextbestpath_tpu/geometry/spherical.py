@@ -42,3 +42,28 @@ def get_spherical_coords(X):
     azim = jnp.arccos(cos_a)
     azim = jnp.where(X[..., 0] < 0, -azim, azim)
     return r, elev, azim
+
+
+def sample_cameras_on_sphere(n_x: int, radius: float):
+    """Deterministic camera grid on a sphere (CustomGeometry.py:47-77).
+
+    n_x should be a square; thetas/phis span +-0.9*pi and +-0.9*2pi on a
+    sqrt(n_x) x sqrt(n_x) grid like the reference.
+    """
+    import math
+
+    n_dim = int(math.isqrt(n_x))
+    delta_theta = 0.9 * jnp.pi
+    delta_phi = 0.9 * 2 * jnp.pi
+    inc = jnp.linspace(0.0, n_dim - 1.0, n_dim)
+    thetas = -delta_theta + inc * (2 * delta_theta / (n_dim - 1))
+    phis = -delta_phi + inc * (2 * delta_phi / (n_dim - 1))
+    tt = thetas[:, None]
+    pp = phis[None, :]
+    x = jnp.cos(tt) * jnp.sin(pp)
+    y = jnp.sin(tt) * jnp.ones_like(pp)
+    z = jnp.cos(tt) * jnp.cos(pp)
+    return radius * jnp.stack(
+        [jnp.broadcast_to(x, (n_dim, n_dim)),
+         jnp.broadcast_to(y, (n_dim, n_dim)),
+         jnp.broadcast_to(z, (n_dim, n_dim))], axis=-1).reshape(-1, 3)
