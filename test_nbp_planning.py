@@ -20,6 +20,9 @@ def main():
     ap.add_argument("--out", default="data/nbp_results.json")
     ap.add_argument("--quick", action="store_true",
                     help="small camera/buffers for smoke runs")
+    ap.add_argument("--scan", action="store_true",
+                    help="use the fully-jitted lax.scan rollout (fast path; "
+                         "one compile per scene shape)")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -60,9 +63,33 @@ def main():
     if args.weights:
         variables, _, _, _ = load_checkpoint(args.weights, variables)
 
-    test_nbp_planning(scenes, model, variables, params=params,
-                      n_poses=args.poses, results_path=args.out,
-                      seed=args.seed)
+    if args.scan:
+        import json as _json
+        import os as _os
+
+        from nextbestpath_tpu.eval.scan_rollout import ScanRollout
+
+        results = {}
+        for assets in scenes:
+            rollout = ScanRollout(assets, model, variables, params=params)
+            res = rollout.run(n_poses=args.poses, seed=args.seed)
+            results[assets.name] = {
+                "coverage_evolution": res.coverage_evolution,
+                "auc": res.auc,
+                "cam_positions": res.cam_positions.tolist(),
+                "wall_time_s": res.wall_time_s,
+                "steps_per_sec": res.steps_per_sec,
+            }
+            print(f"{assets.name}: final coverage "
+                  f"{res.coverage_evolution[-1]:.4f} auc {res.auc:.4f} "
+                  f"({res.steps_per_sec:.2f} poses/s)")
+        _os.makedirs(_os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            _json.dump(results, f)
+    else:
+        test_nbp_planning(scenes, model, variables, params=params,
+                          n_poses=args.poses, results_path=args.out,
+                          seed=args.seed)
 
 
 if __name__ == "__main__":
