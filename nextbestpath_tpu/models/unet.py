@@ -122,6 +122,7 @@ class NBP(nn.Module):
     img_ch: int = 5
     output_ch1: int = 8
     output_ch2: int = 1
+    width: int = 64  # encoder base width (reference: 64 -> ... -> 1024)
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
 
@@ -129,36 +130,37 @@ class NBP(nn.Module):
     def __call__(self, x, train: bool = False):
         kw = dict(dtype=self.dtype, axis_name=self.axis_name)
         pool = lambda h: nn.max_pool(h, (2, 2), strides=(2, 2))
+        w = self.width
 
-        x1 = ConvBlock(64, **kw)(x, train)
-        x2 = ConvBlock(128, **kw)(pool(x1), train)
-        x3 = ConvBlock(256, **kw)(pool(x2), train)
-        x4 = ConvBlock(512, **kw)(pool(x3), train)
-        x5 = ConvBlock(1024, **kw)(pool(x4), train)
+        x1 = ConvBlock(w, **kw)(x, train)
+        x2 = ConvBlock(2 * w, **kw)(pool(x1), train)
+        x3 = ConvBlock(4 * w, **kw)(pool(x2), train)
+        x4 = ConvBlock(8 * w, **kw)(pool(x3), train)
+        x5 = ConvBlock(16 * w, **kw)(pool(x4), train)
 
         # Decoder 1 -> value map at 64 x 64 with 8 orientation channels.
-        d5 = UpConv(512, **kw)(x5, train)
-        a4 = AttentionGate(256, **kw)(d5, x4, train)
-        d5 = ConvBlock(512, **kw)(jnp.concatenate([a4, d5], axis=-1), train)
-        d4 = UpConv(256, **kw)(d5, train)
-        a3 = AttentionGate(128, **kw)(d4, x3, train)
-        d4 = ConvBlock(256, **kw)(jnp.concatenate([a3, d4], axis=-1), train)
+        d5 = UpConv(8 * w, **kw)(x5, train)
+        a4 = AttentionGate(4 * w, **kw)(d5, x4, train)
+        d5 = ConvBlock(8 * w, **kw)(jnp.concatenate([a4, d5], axis=-1), train)
+        d4 = UpConv(4 * w, **kw)(d5, train)
+        a3 = AttentionGate(2 * w, **kw)(d4, x3, train)
+        d4 = ConvBlock(4 * w, **kw)(jnp.concatenate([a3, d4], axis=-1), train)
         out1 = TorchConv(self.output_ch1, (1, 1), dtype=self.dtype,
                          name="final1")(d4)
 
         # Decoder 2 -> obstacle map at full resolution.
-        e5 = UpConv(512, **kw)(x5, train)
-        b4 = AttentionGate(256, **kw)(e5, x4, train)
-        e5 = ConvBlock(512, **kw)(jnp.concatenate([b4, e5], axis=-1), train)
-        e4 = UpConv(256, **kw)(e5, train)
-        b3 = AttentionGate(128, **kw)(e4, x3, train)
-        e4 = ConvBlock(256, **kw)(jnp.concatenate([b3, e4], axis=-1), train)
-        e3 = UpConv(128, **kw)(e4, train)
-        b2 = AttentionGate(64, **kw)(e3, x2, train)
-        e3 = ConvBlock(128, **kw)(jnp.concatenate([b2, e3], axis=-1), train)
-        e2 = UpConv(64, **kw)(e3, train)
-        b1 = AttentionGate(32, **kw)(e2, x1, train)
-        e2 = ConvBlock(64, **kw)(jnp.concatenate([b1, e2], axis=-1), train)
+        e5 = UpConv(8 * w, **kw)(x5, train)
+        b4 = AttentionGate(4 * w, **kw)(e5, x4, train)
+        e5 = ConvBlock(8 * w, **kw)(jnp.concatenate([b4, e5], axis=-1), train)
+        e4 = UpConv(4 * w, **kw)(e5, train)
+        b3 = AttentionGate(2 * w, **kw)(e4, x3, train)
+        e4 = ConvBlock(4 * w, **kw)(jnp.concatenate([b3, e4], axis=-1), train)
+        e3 = UpConv(2 * w, **kw)(e4, train)
+        b2 = AttentionGate(w, **kw)(e3, x2, train)
+        e3 = ConvBlock(2 * w, **kw)(jnp.concatenate([b2, e3], axis=-1), train)
+        e2 = UpConv(w, **kw)(e3, train)
+        b1 = AttentionGate(w // 2, **kw)(e2, x1, train)
+        e2 = ConvBlock(w, **kw)(jnp.concatenate([b1, e2], axis=-1), train)
         out2 = nn.sigmoid(TorchConv(self.output_ch2, (1, 1), dtype=self.dtype,
                                     name="final2")(e2))
 

@@ -97,13 +97,30 @@ def ray_hits_ref(origins: jnp.ndarray, dirs: jnp.ndarray, tris: jnp.ndarray,
     return t_near, n_hits
 
 
+def ray_hits_idx_ref(origins: jnp.ndarray, dirs: jnp.ndarray,
+                     tris: jnp.ndarray, t_min: float = 1e-4,
+                     t_max: float = float(_INF)):
+    """Reference nearest-hit triangle index (-1 when no hit)."""
+    o = origins[:, None, :]
+    d = dirs[:, None, :]
+    v0 = tris[None, :, 0, :]
+    e1 = (tris[:, 1] - tris[:, 0])[None]
+    e2 = (tris[:, 2] - tris[:, 0])[None]
+    t, hit = _moller_trumbore(o, d, v0, e1, e2)
+    in_range = hit & (t > t_min) & (t < t_max)
+    t_masked = jnp.where(in_range, t, _INF)
+    idx = jnp.argmin(t_masked, axis=-1).astype(jnp.int32)
+    t_near = jnp.min(t_masked, axis=-1)
+    return t_near, jnp.where(t_near < _INF, idx, -1)
+
+
 # ---------------------------------------------------------------------------
 # Pallas kernel
 # ---------------------------------------------------------------------------
 
 
 def _ray_kernel(n_chunks_ref, o_ref, d_ref, tri_ref, tmin_ref, tmax_ref,
-                t_out_ref, cnt_out_ref):
+                t_out_ref, cnt_out_ref, idx_out_ref):
     """One program handles RAY_BLOCK rays vs all triangle chunks."""
     ox = o_ref[:, 0:1]
     oy = o_ref[:, 1:2]
@@ -115,7 +132,7 @@ def _ray_kernel(n_chunks_ref, o_ref, d_ref, tri_ref, tmin_ref, tmax_ref,
     t_max = tmax_ref[0]
 
     def body(c, carry):
-        t_best, n_hits = carry
+        t_best, n_hits, best_idx = carry
         base = c * TRI_CHUNK
         v0x = tri_ref[0:1, pl.ds(base, TRI_CHUNK)]
         v0y = tri_ref[1:2, pl.ds(base, TRI_CHUNK)]
@@ -150,16 +167,25 @@ def _ray_kernel(n_chunks_ref, o_ref, d_ref, tri_ref, tmin_ref, tmax_ref,
         inside = (abs_det > _DET_EPS) & (u_s >= 0) & (v_s >= 0) & (u_s + v_s <= abs_det)
         t = t_scaled / jnp.where(abs_det > _DET_EPS, det, 1.0)
         ok = inside & (t > t_min) & (t < t_max)
-        t_best = jnp.minimum(t_best, jnp.min(jnp.where(ok, t, _INF), axis=1,
-                                             keepdims=True))
+        t_chunk = jnp.where(ok, t, _INF)
+        t_min_c = jnp.min(t_chunk, axis=1, keepdims=True)
+        lane = jax.lax.broadcasted_iota(jnp.int32, t_chunk.shape, 1)
+        idx_c = jnp.min(jnp.where(t_chunk <= t_min_c, lane, 2**30),
+                        axis=1, keepdims=True) + base
+        better = t_min_c < t_best
+        best_idx = jnp.where(better, idx_c, best_idx)
+        t_best = jnp.minimum(t_best, t_min_c)
         n_hits = n_hits + jnp.sum(ok.astype(jnp.int32), axis=1, keepdims=True)
-        return t_best, n_hits
+        return t_best, n_hits, best_idx
 
     t0 = jnp.full((RAY_BLOCK, 1), _INF, jnp.float32)
     c0 = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
-    t_best, n_hits = jax.lax.fori_loop(0, n_chunks_ref[0], body, (t0, c0))
+    i0 = jnp.full((RAY_BLOCK, 1), -1, jnp.int32)
+    t_best, n_hits, best_idx = jax.lax.fori_loop(0, n_chunks_ref[0], body,
+                                                 (t0, c0, i0))
     t_out_ref[:, :] = t_best
     cnt_out_ref[:, :] = n_hits
+    idx_out_ref[:, :] = best_idx
 
 
 def _use_interpret() -> bool:
@@ -198,19 +224,22 @@ def _ray_hits_pallas(origins, dirs, tri_soa, n_tris, t_min, t_max,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((RAY_BLOCK, 1), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, 1), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
     )
-    t_out, cnt = pl.pallas_call(
+    t_out, cnt, idx = pl.pallas_call(
         _ray_kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_blocks * RAY_BLOCK, 1), jnp.float32),
             jax.ShapeDtypeStruct((n_blocks * RAY_BLOCK, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks * RAY_BLOCK, 1), jnp.int32),
         ],
         interpret=interpret,
     )(n_chunks, origins.astype(jnp.float32), dirs.astype(jnp.float32),
       tri_soa, jnp.asarray([t_min], jnp.float32), jnp.asarray([t_max], jnp.float32))
-    return t_out[:n_rays, 0], cnt[:n_rays, 0]
+    return t_out[:n_rays, 0], cnt[:n_rays, 0], idx[:n_rays, 0]
 
 
 def ray_hits(origins: jnp.ndarray, dirs: jnp.ndarray, tri_soa: jnp.ndarray,
@@ -223,11 +252,30 @@ def ray_hits(origins: jnp.ndarray, dirs: jnp.ndarray, tri_soa: jnp.ndarray,
     """
     if interpret is None:
         interpret = _use_interpret()
-    return _ray_hits_pallas(
+    t, cnt, _ = _ray_hits_pallas(
         origins, dirs, tri_soa,
         jnp.asarray(n_tris, jnp.int32),
         jnp.float32(t_min), jnp.float32(t_max), interpret,
     )
+    return t, cnt
+
+
+def ray_hits_full(origins: jnp.ndarray, dirs: jnp.ndarray,
+                  tri_soa: jnp.ndarray, n_tris, t_min: float = 1e-4,
+                  t_max: float = float(_INF),
+                  interpret: Optional[bool] = None):
+    """Like ray_hits, plus the nearest-hit triangle index (-1 when no hit).
+
+    The index feeds the RGB shader (render_rgbd): normal = hit triangle's
+    e1 x e2 from the SoA buffer."""
+    if interpret is None:
+        interpret = _use_interpret()
+    t, cnt, idx = _ray_hits_pallas(
+        origins, dirs, tri_soa,
+        jnp.asarray(n_tris, jnp.int32),
+        jnp.float32(t_min), jnp.float32(t_max), interpret,
+    )
+    return t, cnt, jnp.where(t < _INF, idx, -1)
 
 
 # ---------------------------------------------------------------------------
@@ -254,6 +302,49 @@ def render_depth(tri_soa: jnp.ndarray, n_tris, R: jnp.ndarray, T: jnp.ndarray,
                     interpret=interpret)
     zbuf = jnp.where(t < _INF, t, -1.0)
     return zbuf.reshape(intr.image_height, intr.image_width)
+
+
+def render_rgbd(tri_soa: jnp.ndarray, n_tris, R: jnp.ndarray, T: jnp.ndarray,
+                intr: CameraIntrinsics, tri_colors: Optional[jnp.ndarray] = None,
+                ambient: float = 0.85, base_gray: float = 0.8,
+                interpret: Optional[bool] = None
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(rgb (H, W, 3), zbuf (H, W)): depth frame + shaded color frame.
+
+    The reference's RGB renderer is SoftPhongShader + AmbientLights over a
+    uniform gray vertex texture (get_rgb_renderer, macarons_utils.py:905-937;
+    load_scene_with_texture :574-609) — ambient-only lighting makes every
+    lit pixel the same flat gray, which carries zero photometric gradient.
+    The TPU shader keeps the gray palette but modulates it with a headlight
+    Lambert term, shade = ambient + (1-ambient) * |n . view|, so wall
+    orientation structures the image and the self-supervised photometric
+    loss (macarons_utils.py:1292-1388) has signal. Documented delta.
+    """
+    eye = camera_center(R, T)
+    d_view = intr.pixel_ray_dirs_view().reshape(-1, 3)
+    d_world = jnp.matmul(d_view, R.T, precision=jax.lax.Precision.HIGHEST)
+    origins = jnp.broadcast_to(eye, d_world.shape)
+    t, _, idx = ray_hits_full(origins, d_world, tri_soa, n_tris,
+                              t_min=float(intr.znear), t_max=float(intr.zfar),
+                              interpret=interpret)
+    hit = t < _INF
+    idx_c = jnp.clip(idx, 0, tri_soa.shape[1] - 1)
+    e1 = tri_soa[3:6, idx_c].T  # (N, 3)
+    e2 = tri_soa[6:9, idx_c].T
+    n = jnp.cross(e1, e2)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    d_n = d_world / jnp.maximum(
+        jnp.linalg.norm(d_world, axis=-1, keepdims=True), 1e-12)
+    lambert = jnp.abs(jnp.sum(n * d_n, axis=-1))
+    shade = ambient + (1.0 - ambient) * lambert
+    if tri_colors is not None:
+        color = tri_colors[idx_c]
+    else:
+        color = jnp.full((idx_c.shape[0], 3), base_gray, jnp.float32)
+    rgb = jnp.where(hit[:, None], color * shade[:, None], 0.0)
+    H, W = intr.image_height, intr.image_width
+    zbuf = jnp.where(hit, t, -1.0)
+    return rgb.reshape(H, W, 3), zbuf.reshape(H, W)
 
 
 def segments_hit_mesh(starts: jnp.ndarray, ends: jnp.ndarray,

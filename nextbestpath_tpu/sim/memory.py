@@ -103,6 +103,103 @@ class Memory:
         with np.load(path) as z:
             return z["points"]
 
+    def save_occupancy(self, scene_memory_path: str, traj: int,
+                       points: np.ndarray, proba: np.ndarray,
+                       supervision_occ: np.ndarray, view_states: np.ndarray,
+                       out_of_field: np.ndarray) -> None:
+        """Occupancy-field snapshot (save_occupancy_field_in_memory,
+        macarons_utils.py:787-821): the proxy-point field's state is
+        persisted per trajectory so scone replay can rebuild supervision
+        without re-carving."""
+        path = os.path.join(self.trajectory_dir(scene_memory_path, traj,
+                                                "occupancy"), "field.npz")
+        np.savez_compressed(
+            path, points=np.asarray(points, np.float32),
+            proba=np.asarray(proba, np.float16),
+            supervision_occ=np.asarray(supervision_occ, np.float16),
+            view_states=np.asarray(view_states, np.float16),
+            out_of_field=np.asarray(out_of_field, np.float16),
+        )
+
+    def load_occupancy(self, scene_memory_path: str,
+                       traj: int) -> Optional[Dict[str, np.ndarray]]:
+        """Loader analog of load_occupancy_field_from_memory
+        (macarons_utils.py:824-868). None when no snapshot exists."""
+        path = os.path.join(self.trajectory_dir(scene_memory_path, traj,
+                                                "occupancy"), "field.npz")
+        if not os.path.exists(path):
+            return None
+        with np.load(path) as z:
+            return {k: np.asarray(z[k], np.float32) for k in z.files}
+
+    def save_depth(self, scene_memory_path: str, traj: int, frame_nb: int,
+                   depth: np.ndarray, R: np.ndarray, T: np.ndarray) -> None:
+        """Persist a (predicted or perfect) depth map for scone replay
+        (the depths/ tier written by recompute_mapping's save_depths,
+        macarons_utils.py:815-1035)."""
+        path = os.path.join(self.trajectory_dir(scene_memory_path, traj,
+                                                "depths"), f"{frame_nb}.npz")
+        np.savez_compressed(path, depth=depth.astype(np.float16), R=R, T=T)
+
+    def n_depths(self, scene_memory_path: str, traj: int) -> int:
+        d = self.trajectory_dir(scene_memory_path, traj, "depths")
+        return len([f for f in os.listdir(d) if f.endswith(".npz")])
+
+    def get_random_scene_for_scone_model(
+            self, scene_memory_path: str, intr, n_frames: int = 8,
+            points_per_frame: int = 2048,
+            rng: Optional[random.Random] = None,
+            sensor_range: float = 70.0) -> Optional[Dict[str, np.ndarray]]:
+        """Rebuild a full replay scene from a NON-current trajectory's saved
+        depths + occupancy snapshot (get_random_scene_for_scone_model,
+        macarons_utils.py:3845-3978): a random window of saved depth maps is
+        backprojected into a surface point cloud; the trajectory's proxy
+        field snapshot provides the supervision targets.
+
+        Returns dict(surface (N, 3), proxy_points, proba, supervision_occ,
+        view_states, out_of_field) or None when no eligible trajectory.
+        """
+        import jax.numpy as jnp
+
+        from ..geometry.cameras import unproject_depth
+
+        rng = rng or random.Random(0)
+        candidates = [
+            t for t in range(self.n_trajectories)
+            if t != self.current_trajectory()
+            and self.n_depths(scene_memory_path, t) >= n_frames
+            and self.load_occupancy(scene_memory_path, t) is not None
+        ]
+        if not candidates:
+            return None
+        traj = rng.choice(candidates)
+        total = self.n_depths(scene_memory_path, traj)
+        picks = rng.sample(range(total), n_frames)
+        clouds = []
+        d_dir = self.trajectory_dir(scene_memory_path, traj, "depths")
+        for i in picks:
+            with np.load(os.path.join(d_dir, f"{i}.npz")) as z:
+                depth = np.asarray(z["depth"], np.float32)
+                R, T = np.asarray(z["R"]), np.asarray(z["T"])
+            world = np.asarray(unproject_depth(jnp.asarray(depth),
+                                               jnp.asarray(R),
+                                               jnp.asarray(T), intr))
+            flat_d = depth.reshape(-1)
+            flat_w = world.reshape(-1, 3)
+            ok = (flat_d > 0) & (flat_d < sensor_range)
+            idx = np.nonzero(ok)[0]
+            if len(idx) == 0:
+                continue
+            keep = rng.sample(range(len(idx)),
+                              min(points_per_frame, len(idx)))
+            clouds.append(flat_w[idx[keep]])
+        if not clouds:
+            return None
+        occ = self.load_occupancy(scene_memory_path, traj)
+        occ["surface"] = np.concatenate(clouds, axis=0)
+        occ["proxy_points"] = occ.pop("points")
+        return occ
+
     def save_poses(self, scene_memory_path: str,
                    poses: List[List[float]]) -> None:
         with open(os.path.join(scene_memory_path, "poses.json"), "w") as f:

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry.cameras import CameraIntrinsics, camera_center, get_camera_RT
-from ..ops.raytrace import render_depth
+from ..ops.raytrace import render_depth, render_rgbd
 
 _F32 = jax.lax.Precision.HIGHEST
 
@@ -36,6 +36,21 @@ def capture_depth(tri_soa: jnp.ndarray, n_tris, pose5: jnp.ndarray,
     R, T = get_camera_RT(pose5[None, :3], pose5[None, 3:])
     zbuf = render_depth(tri_soa, n_tris, R[0], T[0], intr)
     return zbuf, R[0], T[0]
+
+
+def capture_rgbd(tri_soa: jnp.ndarray, n_tris, pose5: jnp.ndarray,
+                 intr: CameraIntrinsics, tri_colors=None,
+                 ambient: float = 0.85):
+    """Render an RGB-D frame for a 5-D pose: (rgb, zbuf, R, T).
+
+    The frame-dict analog of capture_image (macarons_utils.py:2743-2786)
+    without the disk round trip; rgb comes from the headlight-Lambert shader
+    (ops/raytrace.render_rgbd — documented delta vs the reference's flat
+    AmbientLights Phong)."""
+    R, T = get_camera_RT(pose5[None, :3], pose5[None, 3:])
+    rgb, zbuf = render_rgbd(tri_soa, n_tris, R[0], T[0], intr,
+                            tri_colors=tri_colors, ambient=ambient)
+    return rgb, zbuf, R[0], T[0]
 
 
 def backproject_sample(

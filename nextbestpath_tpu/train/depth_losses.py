@@ -111,6 +111,59 @@ def regularity_loss(disp: jnp.ndarray, img: jnp.ndarray,
     return jnp.mean(tab)
 
 
+def color_jitter(key: jax.Array, images: jnp.ndarray,
+                 brightness: float = 0.2, contrast: float = 0.2,
+                 saturation: float = 0.2, hue: float = 0.1,
+                 probability: float = 1.0) -> jnp.ndarray:
+    """Photometric jitter on a stack of (..., H, W, 3) images.
+
+    The reference jitters the whole depth batch with one random transform
+    (apply_jitter_to_images, depth_model_utils.py:873-892) so the
+    photometric loss stays consistent across target/context frames; same
+    here — one draw for all frames.
+    """
+    k_apply, k_b, k_c, k_s, k_h = jax.random.split(key, 5)
+    b = jax.random.uniform(k_b, (), minval=1 - brightness, maxval=1 + brightness)
+    c = jax.random.uniform(k_c, (), minval=1 - contrast, maxval=1 + contrast)
+    s = jax.random.uniform(k_s, (), minval=1 - saturation, maxval=1 + saturation)
+    h = jax.random.uniform(k_h, (), minval=-hue, maxval=hue)
+
+    out = images * b
+    mean = jnp.mean(out, axis=(-3, -2, -1), keepdims=True)
+    out = mean + (out - mean) * c
+    gray = jnp.mean(out, axis=-1, keepdims=True)
+    out = gray + (out - gray) * s
+    # Hue rotation about the RGB gray axis (YIQ rotation approximation).
+    theta = h * jnp.pi
+    cos_h, sin_h = jnp.cos(theta), jnp.sin(theta)
+    one3 = 1.0 / 3.0
+    sqrt3 = 3.0 ** 0.5
+    a = cos_h + (1 - cos_h) * one3
+    b2 = one3 * (1 - cos_h) - sqrt3 * one3 * sin_h
+    c2 = one3 * (1 - cos_h) + sqrt3 * one3 * sin_h
+    m = jnp.asarray([[a, b2, c2], [c2, a, b2], [b2, c2, a]], images.dtype)
+    out = jnp.einsum("...c,dc->...d", out, m)
+    out = jnp.clip(out, 0.0, 1.0)
+    apply = jax.random.uniform(k_apply) < probability
+    return jnp.where(apply, out, images)
+
+
+_FLIP_S = jnp.diag(jnp.asarray([-1.0, 1.0, 1.0]))
+
+
+def horizontal_flip(images: jnp.ndarray, R: jnp.ndarray, T: jnp.ndarray):
+    """Horizontal-flip symmetry aug with the matching camera flip
+    (apply_symmetry_to_images, depth_model_utils.py:895-919): images mirror
+    along W; world->view rotations/translations conjugate with
+    S = diag(-1, 1, 1) so reprojection stays consistent."""
+    flipped = jnp.flip(images, axis=-2)
+    R2 = _FLIP_S @ R @ _FLIP_S if R.ndim == 2 else jnp.einsum(
+        "ij,...jk,kl->...il", _FLIP_S, R, _FLIP_S)
+    T2 = T @ _FLIP_S if T.ndim == 1 else jnp.einsum("...j,jk->...k", T,
+                                                    _FLIP_S)
+    return flipped, R2, T2
+
+
 def error_mask_from_disparity(disp: jnp.ndarray, img: jnp.ndarray,
                               mask: jnp.ndarray) -> jnp.ndarray:
     """The obtain_depth error mask (long_term_utils.py:132-141): pixels whose

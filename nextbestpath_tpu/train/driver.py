@@ -18,7 +18,7 @@ import jax
 from ..assets.scene_assets import SceneAssets
 from ..config import Params, default_params
 from ..models.unet import NBP
-from ..utils.checkpoint import save_checkpoint
+from ..utils.checkpoint import load_checkpoint, save_checkpoint
 from .collection import collect_trajectory
 from .replay import ReplayDB
 from .train_nbp import TrainState, init_train_state, train_nbp
@@ -89,4 +89,149 @@ def run_training_nbp(
             db.save()
         if verbose:
             print(f"  epoch wall time {time.time() - t0:.1f}s")
+    return state
+
+
+def run_training_nbp_scan(
+    scenes: Sequence[SceneAssets],
+    eval_scenes: Optional[Sequence[SceneAssets]] = None,
+    params: Optional[Params] = None,
+    epochs: int = 100,
+    n_poses: int = 100,
+    db_dir: Optional[str] = None,
+    weights_dir: str = "weights/nbp",
+    log_dir: str = "training_log",
+    model_tag: str = "nbp",
+    seed: int = 8,
+    verbose: bool = True,
+    resume: bool = False,
+    eval_every: int = 3,
+    eval_poses: int = 40,
+    max_wall_s: Optional[float] = None,
+    interpret: Optional[bool] = None,
+) -> TrainState:
+    """Reference-scale NBP training on the scan-collection fast path.
+
+    Same recipe as run_training_nbp (epoch-0 collect + validation split,
+    5 inner epochs, plateau LR, best-val checkpoints — train_nbp_model.py
+    :92-157) but with: fully-jitted collection rollouts (one program for all
+    same-shape scenes), bf16 U-Net compute (the reference trains under fp16
+    AMP, nbp_utils.py:342-345), periodic held-out scan evaluation, full
+    optimizer-state checkpointing, and chunked resume (--resume restarts
+    from the latest checkpoint + on-disk replay shards — the process can be
+    killed between epochs without losing the run).
+    """
+    import jax.numpy as jnp
+
+    from ..eval.scan_rollout import BatchedScanRollout
+    from .scan_collection import ScanCollection, collect_trajectory_scan
+
+    p = params or default_params()
+    model = NBP(dtype=jnp.bfloat16)
+    state = init_train_state(model, jax.random.PRNGKey(seed),
+                             lr=float(p.nbp_lr))
+    collection = ScanCollection(scenes, model, params=p, interpret=interpret)
+    evaluator = None
+    if eval_scenes:
+        evaluator = BatchedScanRollout(eval_scenes, model, state.variables,
+                                       params=p, interpret=interpret)
+
+    db = ReplayDB()
+    validation_data: List = []
+    best_val = float("inf")
+    start_epoch = 0
+    db_high_water = 0
+    log = {"train": [], "val": [], "coverage_after_trajectory": [],
+           "eval_auc": []}
+
+    latest_path = os.path.join(weights_dir, f"{model_tag}_latest.ckpt")
+    val_path = os.path.join(db_dir, "validation.npz") if db_dir else None
+    log_path = os.path.join(log_dir, f"{model_tag}_loss.json")
+
+    if resume and os.path.exists(latest_path):
+        variables, opt_state, epoch, extra = load_checkpoint(
+            latest_path, state.variables, state.opt_state)
+        import dataclasses as _dc
+
+        state = _dc.replace(state, variables=variables, opt_state=opt_state,
+                            lr=float(extra.get("lr", state.lr)))
+        best_val = float(extra.get("best_val", best_val))
+        start_epoch = int(epoch) + 1
+        if db_dir:
+            db_high_water = db.load_dir(db_dir)
+        if val_path and os.path.exists(val_path):
+            val_db = ReplayDB()
+            val_db.load(val_path)
+            validation_data = val_db.entries
+        if os.path.exists(log_path):
+            with open(log_path) as f:
+                prev = json.load(f)
+            for k in log:
+                log[k] = prev.get(k, [])
+        if verbose:
+            print(f"resumed from {latest_path}: epoch {start_epoch}, "
+                  f"db {len(db)}, val {len(validation_data)}, "
+                  f"lr {state.lr:.2e}, best_val {best_val:.4f}")
+
+    t_start = time.time()
+    for epoch in range(start_epoch, epochs):
+        t0 = time.time()
+        if verbose:
+            print(f"=== epoch {epoch} ===", flush=True)
+        for i in range(len(scenes)):
+            cov = collect_trajectory_scan(
+                collection, i, state.variables, db,
+                seed=seed * 1000 + epoch * len(scenes) + i, n_poses=n_poses,
+            )
+            log["coverage_after_trajectory"].append(cov[-1] if cov else 0.0)
+            if verbose:
+                print(f"  collected {scenes[i].name}: "
+                      f"{len(cov)} poses, final coverage "
+                      f"{cov[-1] if cov else 0:.4f}, db size {len(db)}",
+                      flush=True)
+
+        if epoch == 0:
+            validation_data = db.extract_validation(num=1200)
+            if val_path:
+                db.save_entries(val_path, validation_data)
+            if verbose:
+                print(f"  validation split: {len(validation_data)} entries")
+        else:
+            state, tl, vl = train_nbp(model, state, db, validation_data,
+                                      current_epoch=epoch, params=p,
+                                      verbose=verbose)
+            log["train"].append(tl)
+            log["val"].append(vl)
+            if vl < best_val:
+                best_val = vl
+                save_checkpoint(
+                    os.path.join(weights_dir, f"{model_tag}_best_val.ckpt"),
+                    state.variables, epoch=epoch,
+                )
+
+        if db_dir:
+            db_high_water = db.save_epoch(db_dir, epoch, db_high_water)
+        save_checkpoint(latest_path, state.variables,
+                        opt_state=state.opt_state, epoch=epoch,
+                        extra={"lr": state.lr, "best_val": best_val})
+
+        if evaluator is not None and epoch > 0 and epoch % eval_every == 0:
+            results = evaluator.run(n_poses=eval_poses, seed=999,
+                                    variables=state.variables)
+            aucs = {a.name: round(r.auc, 4)
+                    for a, r in zip(eval_scenes, results)}
+            log["eval_auc"].append({"epoch": epoch, "auc": aucs})
+            if verbose:
+                print(f"  eval AUC @ {eval_poses} poses: {aucs}", flush=True)
+
+        os.makedirs(log_dir, exist_ok=True)
+        with open(log_path, "w") as f:
+            json.dump(log, f)
+        if verbose:
+            print(f"  epoch wall time {time.time() - t0:.1f}s", flush=True)
+        if max_wall_s is not None and time.time() - t_start > max_wall_s:
+            if verbose:
+                print(f"wall-clock budget reached after epoch {epoch}; "
+                      "resume with resume=True", flush=True)
+            break
     return state

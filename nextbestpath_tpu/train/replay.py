@@ -49,10 +49,14 @@ class ReplayDB:
 
     def append(self, model_input: np.ndarray, gt_layout: np.ndarray,
                pixels: np.ndarray, gains: np.ndarray, pose_i: int) -> None:
+        mi = np.asarray(model_input, np.float16)
+        gl = np.asarray(gt_layout, np.uint8)
+        assert mi.ndim == 3 and mi.shape[0] in (5,), mi.shape  # (C, S, S)
+        assert gl.shape == mi.shape[1:], (gl.shape, mi.shape)
         self.entries.append(
             Experience(
-                model_input=np.asarray(model_input, np.float16).reshape(5, 256, 256),
-                gt_layout=np.asarray(gt_layout, np.uint8).reshape(256, 256),
+                model_input=mi,
+                gt_layout=gl,
                 pixels=np.asarray(pixels, np.int32).reshape(-1, 3),
                 gains=np.asarray(gains, np.float32).reshape(-1),
                 pose_i=int(pose_i),
@@ -86,6 +90,45 @@ class ReplayDB:
         return sampled + self.entries[-last_n:]
 
     # -- persistence ------------------------------------------------------
+
+    def save_entries(self, path: str, entries: List[Experience]) -> None:
+        """Write a slice of entries as one uncompressed npz (fast on the
+        single-core box; used for per-epoch incremental persistence)."""
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        arrays: Dict[str, Any] = {"n": np.asarray(len(entries))}
+        for i, e in enumerate(entries):
+            arrays[f"mi_{i}"] = e.model_input
+            arrays[f"gl_{i}"] = e.gt_layout
+            arrays[f"px_{i}"] = e.pixels
+            arrays[f"gn_{i}"] = e.gains
+            arrays[f"pi_{i}"] = np.asarray(e.pose_i)
+        np.savez(path, **arrays)
+
+    def save_epoch(self, db_dir: str, epoch: int, start: int) -> int:
+        """Persist entries[start:] as <db_dir>/epoch_<epoch>.npz; returns the
+        new high-water mark."""
+        self.save_entries(os.path.join(db_dir, f"epoch_{epoch:04d}.npz"),
+                          self.entries[start:])
+        return len(self.entries)
+
+    def load_dir(self, db_dir: str) -> int:
+        """Load every epoch_*.npz shard (sorted) into the store."""
+        if not os.path.isdir(db_dir):
+            return 0
+        n_loaded = 0
+        for fname in sorted(os.listdir(db_dir)):
+            if not (fname.startswith("epoch_") and fname.endswith(".npz")):
+                continue
+            with np.load(os.path.join(db_dir, fname)) as z:
+                n = int(z["n"])
+                for i in range(n):
+                    self.entries.append(Experience(
+                        model_input=z[f"mi_{i}"], gt_layout=z[f"gl_{i}"],
+                        pixels=z[f"px_{i}"], gains=z[f"gn_{i}"],
+                        pose_i=int(z[f"pi_{i}"]),
+                    ))
+                n_loaded += n
+        return n_loaded
 
     def save(self, path: Optional[str] = None) -> None:
         path = path or self.path

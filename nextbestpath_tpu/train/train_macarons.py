@@ -22,6 +22,7 @@ through the same loss functions via sim.memory.Memory.
 from __future__ import annotations
 
 import dataclasses
+import random as _pyrandom
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -39,11 +40,16 @@ from ..ops.coverage import coverage_percentage
 from ..ops.raytrace import tris_to_soa
 from ..ops.view_state import compute_view_harmonics
 from ..planning.grid_paths import DIRS
+from ..models.manydepth import disparity_to_depth
 from ..sim.proxy import ProxyField, carve_with_frame
 from ..sim.rollout import TrajectoryBuffer, move_and_capture
-from ..sim.sensor import PointBuffer, backproject_sample, capture_depth
+from ..sim.sensor import (PointBuffer, backproject_sample, capture_depth,
+                          capture_rgbd)
 from ..sim.surface_store import SurfaceStore, camera_coverage_gain
 from ..sim.tables import build_scene_tables
+from .depth_losses import (color_jitter, error_mask_from_disparity,
+                           horizontal_flip, photometric_loss,
+                           regularity_loss)
 from .pretrain_scone import uncentered_l1
 
 
@@ -78,6 +84,75 @@ class MacaronsTrainState:
         )
 
 
+def make_depth_steps(depth_model, depth_tx, intr: CameraIntrinsics,
+                     p: Params):
+    """Jitted online depth-training + inference steps.
+
+    Matches the reference's apply_depth_model + photometric supervision
+    (macarons_utils.py:1089-1388, train_macarons.py:389-403): a frame
+    triplet (target + 2 previous frames) goes through ManyDepth; the loss is
+    min-over-alpha 0.85*SSIM + 0.15*L1 reprojection plus edge-aware
+    regularity; photometric jitter (always, jitter_probability=1.0) and
+    horizontal-flip symmetry aug (p=0.5, with the matching camera conjugate)
+    mirror depth_model_utils.py:873-919. Delta: the reference's third
+    supervision frame (alpha=+1, the not-yet-captured future frame) is
+    omitted — supervision uses the two past frames the cost volume sees.
+    """
+    reg_factor = float(p.get("regularity_loss_factor", 0.1))
+    jitter_p = float(p.get("jitter_probability", 1.0))
+    sym_p = float(p.get("symmetry_probability", 0.5))
+
+    @jax.jit
+    def depth_step(depth_vars, depth_opt, tgt, R, T, x_alpha, R_alpha,
+                   T_alpha, rng):
+        k_j, k_f = jax.random.split(rng)
+        all_imgs = jnp.concatenate([tgt[None], x_alpha], axis=0)
+        all_imgs = color_jitter(
+            k_j, all_imgs,
+            brightness=float(p.get("brightness_jitter_range", 0.2)),
+            contrast=float(p.get("contrast_jitter_range", 0.2)),
+            saturation=float(p.get("saturation_jitter_range", 0.2)),
+            hue=float(p.get("hue_jitter_range", 0.1)),
+            probability=jitter_p)
+        Rs = jnp.concatenate([R[None], R_alpha], axis=0)
+        Ts = jnp.concatenate([T[None], T_alpha], axis=0)
+        f_imgs, f_R, f_T = horizontal_flip(all_imgs, Rs, Ts)
+        do_flip = jax.random.uniform(k_f) < sym_p
+        imgs = jnp.where(do_flip, f_imgs, all_imgs)
+        Rs = jnp.where(do_flip, f_R, Rs)
+        Ts = jnp.where(do_flip, f_T, Ts)
+        tgt2, xa2 = imgs[0], imgs[1:]
+        R2, Ra2, T2, Ta2 = Rs[0], Rs[1:], Ts[0], Ts[1:]
+
+        def loss_fn(dv):
+            disp1, *_ = depth_model.apply(dv, tgt2[None], R2[None], T2[None],
+                                          xa2[None], Ra2[None], Ta2[None])
+            depth = disparity_to_depth(disp1[0, ..., 0])
+            photo = photometric_loss(tgt2, depth, R2, T2, xa2, Ra2, Ta2,
+                                     intr)
+            reg = regularity_loss(disp1[0, ..., 0], tgt2)
+            return photo + reg_factor * reg, (photo, reg)
+
+        (loss, (photo, reg)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(depth_vars)
+        updates, depth_opt = depth_tx.update(grads, depth_opt)
+        return optax.apply_updates(depth_vars, updates), depth_opt, photo, reg
+
+    @jax.jit
+    def depth_infer(depth_vars, tgt, R, T, x_alpha, R_alpha, T_alpha):
+        """Predicted depth map with the obtain_depth error mask; masked
+        pixels get -1 (background convention of the perfect-depth path)."""
+        disp1, *_ = depth_model.apply(depth_vars, tgt[None], R[None],
+                                      T[None], x_alpha[None], R_alpha[None],
+                                      T_alpha[None])
+        d = disp1[0, ..., 0]
+        depth = disparity_to_depth(d)
+        ok = error_mask_from_disparity(d, tgt, jnp.ones_like(d, bool))
+        return jnp.where(ok, depth, -1.0)
+
+    return depth_step, depth_infer
+
+
 def train_macarons_online(
     assets: SceneAssets,
     state: MacaronsTrainState,
@@ -88,10 +163,22 @@ def train_macarons_online(
     n_proxy_tokens: int = 512,
     use_perfect_depth: bool = True,
     learn_depth: bool = False,
+    memory=None,
+    scene_memory_path: Optional[str] = None,
+    memory_replay_loops: int = 0,
     interpret: Optional[bool] = None,
     verbose: bool = True,
 ) -> Dict[str, List[float]]:
-    """One scene's online training trajectory. Returns loss/metric logs."""
+    """One scene's online training trajectory. Returns loss/metric logs.
+
+    When a sim.memory.Memory (+ scene_memory_path) is given, the loop
+    persists per-pose frames/depths into the current trajectory slot, runs
+    `memory_replay_loops` occupancy-replay steps per pose on scenes
+    reconstructed from OTHER trajectories' saved depths
+    (memory_scene_loop, train_macarons.py:609-812 — occupancy supervision
+    from the stored proxy snapshot; visibility replay is not reproduced),
+    and snapshots the occupancy field + surface + poses at the end.
+    """
     p = params or default_params()
     key = jax.random.PRNGKey(seed)
 
@@ -155,6 +242,15 @@ def train_macarons_online(
     occ_model = state.model.scone_occ
     vis_model = state.model.scone_vis
 
+    need_rgb = learn_depth or not use_perfect_depth
+    depth_step = depth_infer = None
+    if need_rgb:
+        depth_step, depth_infer = make_depth_steps(
+            state.model.depth, state.depth_tx, intr, p)
+    tri_colors = jnp.asarray(assets.tri_colors)
+    ambient = float(p.get("ambient_light_intensity", 0.85))
+    frame_hist: List[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]] = []
+
     @jax.jit
     def scone_step(occ_vars, vis_vars, occ_opt, vis_opt, pc_tokens,
                    proxy_pts, proxy_vh, sup_occ, cand_cams, measured_gain,
@@ -181,7 +277,44 @@ def train_macarons_online(
         return (optax.apply_updates(occ_vars, ou),
                 optax.apply_updates(vis_vars, vu), occ_opt, vis_opt, ol, cl)
 
-    logs = {"coverage": [], "occ_loss": [], "cov_loss": [], "gain": []}
+    @jax.jit
+    def occ_replay_step(occ_vars, occ_opt, pc_tokens, proxy_pts, proxy_vh,
+                        sup_occ, rng):
+        """Occupancy supervision on a memory-replayed scene
+        (memory_scene_loop, train_macarons.py:609-812)."""
+        def loss_fn(ov):
+            pred = occ_model.apply(ov, norm(pc_tokens)[None],
+                                   norm(proxy_pts)[None], proxy_vh, key=rng)
+            return jnp.mean((pred[0] - sup_occ) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(occ_vars)
+        ou, occ_opt = state.occ_tx.update(grads, occ_opt)
+        return optax.apply_updates(occ_vars, ou), occ_opt, loss
+
+    def run_memory_replay(rng_py):
+        scene = memory.get_random_scene_for_scone_model(
+            scene_memory_path, intr, rng=rng_py,
+            sensor_range=float(p.sensor_range))
+        if scene is None:
+            return None
+        pr = np.random.default_rng(rng_py.randrange(2**31))
+        pi = pr.integers(0, len(scene["proxy_points"]), n_proxy_tokens)
+        si = pr.integers(0, len(scene["surface"]), n_tokens)
+        vh_r = compute_view_harmonics(
+            jnp.asarray(scene["view_states"][pi])[None], base_h, h_polar,
+            n_elev_vs, n_azim_vs)
+        (state.model.occ_vars, state.occ_opt_state, loss) = occ_replay_step(
+            state.model.occ_vars, state.occ_opt_state,
+            jnp.asarray(scene["surface"][si]),
+            jnp.asarray(scene["proxy_points"][pi]), vh_r,
+            jnp.asarray(scene["supervision_occ"][pi]), next_key())
+        return float(loss)
+
+    mem_rng = _pyrandom.Random(seed + 17)
+    frame_nb = 0
+
+    logs = {"coverage": [], "occ_loss": [], "cov_loss": [], "gain": [],
+            "depth_loss": [], "replay_occ_loss": []}
     eps_cov = 2.0 * 0.05 * float(p.scene_scale_factor) * float(
         p.surface_epsilon_factor)
 
@@ -192,17 +325,60 @@ def train_macarons_online(
             print(f"macarons pose {pose_i}: coverage {cov:.4f}")
 
         cur_pose = pose5(cur)
-        zbuf, R, T = capture_depth(tri_soa, n_tris, cur_pose, intr)
-        # (ManyDepth inference would replace zbuf here when
-        # use_perfect_depth=False; the NBP pipeline always uses perfect
-        # depth — configs/nbp/...json:65.)
-        batch = backproject_sample(zbuf, R, T, intr, next_key(),
+        if need_rgb:
+            rgb, zbuf, R, T = capture_rgbd(tri_soa, n_tris, cur_pose, intr,
+                                           tri_colors=tri_colors,
+                                           ambient=ambient)
+            frame_hist.append((rgb, R, T))
+            if len(frame_hist) > 3:
+                frame_hist.pop(0)
+        else:
+            zbuf, R, T = capture_depth(tri_soa, n_tris, cur_pose, intr)
+
+        have_context = need_rgb and len(frame_hist) >= 3
+        if learn_depth and have_context:
+            # Online self-supervised depth step on the (current, -1, -2)
+            # frame triplet (train_macarons.py:389-403).
+            x_alpha = jnp.stack([frame_hist[-2][0], frame_hist[-3][0]])
+            R_a = jnp.stack([frame_hist[-2][1], frame_hist[-3][1]])
+            T_a = jnp.stack([frame_hist[-2][2], frame_hist[-3][2]])
+            (state.model.depth_vars, state.depth_opt_state, photo,
+             reg) = depth_step(state.model.depth_vars,
+                               state.depth_opt_state, rgb, R, T,
+                               x_alpha, R_a, T_a, next_key())
+            logs["depth_loss"].append(float(photo))
+        if not use_perfect_depth and have_context:
+            # Backproject through the PREDICTED depth (apply_depth_model,
+            # macarons_utils.py:1089-1289) instead of the rendered zbuf.
+            x_alpha = jnp.stack([frame_hist[-2][0], frame_hist[-3][0]])
+            R_a = jnp.stack([frame_hist[-2][1], frame_hist[-3][1]])
+            T_a = jnp.stack([frame_hist[-2][2], frame_hist[-3][2]])
+            zbuf_used = depth_infer(state.model.depth_vars, rgb, R, T,
+                                    x_alpha, R_a, T_a)
+        else:
+            zbuf_used = zbuf
+        if memory is not None and scene_memory_path:
+            traj_slot = memory.current_trajectory()
+            memory.save_frame(scene_memory_path, traj_slot, frame_nb,
+                              np.asarray(zbuf), np.asarray(R), np.asarray(T),
+                              float(p.zfar),
+                              rgb=np.asarray(rgb) if need_rgb else None)
+            memory.save_depth(scene_memory_path, traj_slot, frame_nb,
+                              np.asarray(zbuf_used), np.asarray(R),
+                              np.asarray(T))
+            frame_nb += 1
+            for _ in range(memory_replay_loops):
+                rl = run_memory_replay(mem_rng)
+                if rl is not None:
+                    logs["replay_occ_loss"].append(rl)
+
+        batch = backproject_sample(zbuf_used, R, T, intr, next_key(),
                                    int(p.points_per_frame),
                                    gathering_factor=float(p.gathering_factor),
                                    sensor_range=float(p.sensor_range))
         surface = surface.fill(batch.points, batch.valid)
         proxy = carve_with_frame(
-            proxy, zbuf, R, T, cur_pose[:3], intr,
+            proxy, zbuf_used, R, T, cur_pose[:3], intr,
             score_threshold=float(p.score_threshold),
             carving_tolerance=float(p.carving_tolerance),
             n_elev=n_elev_vs, n_azim=n_azim_vs,
@@ -272,4 +448,17 @@ def train_macarons_online(
         logs["cov_loss"].append(float(cl))
         cur = nxt
 
+    if memory is not None and scene_memory_path:
+        # End-of-trajectory snapshots (save_surface_scene_in_memory /
+        # save_occupancy_field_in_memory, macarons_utils.py:755-821, and the
+        # per-epoch pose dumps, train_macarons.py:1402-1410).
+        traj_slot = memory.current_trajectory()
+        memory.save_surface(scene_memory_path, traj_slot,
+                            np.asarray(pc.points), int(pc.count))
+        memory.save_occupancy(
+            scene_memory_path, traj_slot, np.asarray(proxy.points),
+            np.asarray(proxy.proba), np.asarray(proxy.supervision_occ),
+            np.asarray(proxy.view_states), np.asarray(proxy.out_of_field))
+        memory.save_poses(scene_memory_path,
+                          [list(map(float, pose5(cur)))])
     return logs

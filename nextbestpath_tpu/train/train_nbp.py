@@ -25,7 +25,9 @@ from ..config import Params, default_params
 from ..models.unet import NBP, nbp_loss
 from .replay import Experience, ReplayDB
 
-MAX_PIXELS = 64  # pad width for per-experience target pixel lists
+MAX_PIXELS = 128  # pad width for per-experience target pixel lists
+# (a 100-pose rollout can label up to ~99 suffix pixels per early state;
+# 64 silently dropped the tail for the first third of each trajectory)
 MICRO_BATCH = 8  # fixed device batch: one compile, fits v5e HBM at 256^2
 
 

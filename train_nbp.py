@@ -3,10 +3,33 @@
 
 Usage: python train_nbp.py -c <config.json> [--procgen simple,normal]
        python train_nbp.py --procgen simple --epochs 2 --poses 10  (smoke)
+       python train_nbp.py --scan --procgen simple:2,normal:2,hard:2,insane:2 \
+           --eval-procgen simple,normal,hard,insane --epochs 30 --resume
+
+--scan runs the fully-jitted scan-collection trainer
+(train/driver.py:run_training_nbp_scan): one compiled rollout program for all
+scenes, bf16 U-Net, full-state checkpoints, chunked resume.
 """
 
 import argparse
 import os
+
+
+def parse_procgen(spec: str, seed_base: int):
+    """"simple:2,normal" -> [(difficulty, seed), ...] (default count 1)."""
+    out = []
+    for i, tok in enumerate(spec.split(",")):
+        tok = tok.strip()
+        if not tok:
+            continue
+        if ":" in tok:
+            diff, cnt = tok.split(":")
+            cnt = int(cnt)
+        else:
+            diff, cnt = tok, 1
+        for j in range(cnt):
+            out.append((diff.strip(), seed_base + i * 37 + j))
+    return out
 
 
 def main():
@@ -14,14 +37,29 @@ def main():
     ap.add_argument("-c", "--config", default=None,
                     help="JSON config (reference schema, flattened sections)")
     ap.add_argument("--procgen", default=None,
-                    help="comma-separated procgen difficulties to train on "
-                         "(used when no scene dataset is available)")
+                    help="procgen training scenes: 'simple:2,hard:1' "
+                         "(difficulty[:count] comma list)")
+    ap.add_argument("--eval-procgen", default=None,
+                    help="held-out procgen eval scenes, same syntax "
+                         "(seeds disjoint from training)")
     ap.add_argument("--scene-dirs", default=None,
                     help="comma-separated reference-format scene directories")
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--poses", type=int, default=None)
     ap.add_argument("--seed", type=int, default=8)
-    ap.add_argument("--db", default="nbp_data/replay.npz")
+    ap.add_argument("--db", default="nbp_data/replay.npz",
+                    help="replay persistence path (host-loop trainer)")
+    ap.add_argument("--scan", action="store_true",
+                    help="use the fully-jitted scan-collection trainer")
+    ap.add_argument("--db-dir", default="nbp_data/db",
+                    help="replay shard directory (scan trainer)")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from the latest checkpoint + replay shards")
+    ap.add_argument("--eval-every", type=int, default=3)
+    ap.add_argument("--eval-poses", type=int, default=40)
+    ap.add_argument("--max-wall", type=float, default=None,
+                    help="stop after this many seconds (at an epoch "
+                         "boundary); resume later with --resume")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -30,7 +68,9 @@ def main():
     from nextbestpath_tpu.config import default_params, load_params
     from nextbestpath_tpu.assets import (generate_scene, load_scene_dir,
                                          pack_generated_scene)
-    from nextbestpath_tpu.train.driver import run_training_nbp
+    from nextbestpath_tpu.assets.scene_assets import pad_assets_to_common
+    from nextbestpath_tpu.train.driver import (run_training_nbp,
+                                               run_training_nbp_scan)
 
     params = load_params(args.config) if args.config else default_params()
     for k in ("pc2img_size", "prediction_range", "value_map_size", "n_pieces",
@@ -44,17 +84,36 @@ def main():
         for d in args.scene_dirs.split(","):
             scenes.append(load_scene_dir(d, params=params))
     elif args.procgen:
-        for i, diff in enumerate(args.procgen.split(",")):
+        for diff, s in parse_procgen(args.procgen, args.seed):
             scenes.append(pack_generated_scene(
-                generate_scene(diff.strip(), seed=args.seed + i), params=params))
+                generate_scene(diff, seed=s), params=params))
     else:
         raise SystemExit("provide --scene-dirs or --procgen")
 
     epochs = args.epochs if args.epochs is not None else int(params.get("epochs", 100))
     poses = args.poses if args.poses is not None else int(
         params.get("n_poses_in_trajectory", 100))
-    run_training_nbp(scenes, params=params, epochs=epochs, n_poses=poses,
-                     db_path=args.db, seed=args.seed)
+
+    if args.scan:
+        eval_scenes = None
+        if args.eval_procgen:
+            # Seed offset 500: held-out scenes never overlap training seeds.
+            eval_scenes = [
+                pack_generated_scene(generate_scene(diff, seed=s + 500),
+                                     params=params)
+                for diff, s in parse_procgen(args.eval_procgen, args.seed)
+            ]
+            eval_scenes = pad_assets_to_common(eval_scenes)
+        scenes = pad_assets_to_common(scenes)
+        run_training_nbp_scan(
+            scenes, eval_scenes=eval_scenes, params=params, epochs=epochs,
+            n_poses=poses, db_dir=args.db_dir, seed=args.seed,
+            resume=args.resume, eval_every=args.eval_every,
+            eval_poses=args.eval_poses, max_wall_s=args.max_wall,
+        )
+    else:
+        run_training_nbp(scenes, params=params, epochs=epochs, n_poses=poses,
+                         db_path=args.db, seed=args.seed)
 
 
 if __name__ == "__main__":
