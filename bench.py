@@ -71,20 +71,30 @@ def main():
     # minutes-slow over the remote-TPU tunnel.
     variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
         jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 5)))
-    # Free-space-optimistic init: an untrained obstacle decoder outputs
-    # sigmoid(~0) = 0.5 >= threshold 0.13, i.e. 'everything blocked', so the
-    # agent would only rotate in place. Biasing the final conv to -4 makes
-    # the layout open (like a trained model) so the benchmark exercises the
-    # full navigate+plan path.
-    import flax
+    ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "weights", "nbp", "nbp_best_val.ckpt")
+    if os.path.exists(ckpt):
+        # The benchmark measures the TRAINED workload (the plan branch's
+        # frequency is regeneration-dependent, so the policy matters).
+        from nextbestpath_tpu.utils.checkpoint import load_checkpoint
 
-    params_dict = flax.core.unfreeze(variables["params"]) if hasattr(
-        flax.core, "unfreeze") else dict(variables["params"])
-    params_dict["final2"]["Conv_0"]["bias"] = (
-        params_dict["final2"]["Conv_0"]["bias"] - 4.0
-    )
-    variables = dict(variables)
-    variables["params"] = params_dict
+        variables, _, epoch, _ = load_checkpoint(ckpt, variables)
+        print(f"# loaded trained weights {ckpt} (epoch {epoch})",
+              file=sys.stderr, flush=True)
+    else:
+        # Fallback: free-space-optimistic init. An untrained obstacle
+        # decoder outputs sigmoid(~0) = 0.5 >= threshold 0.13 ('everything
+        # blocked'), so the agent would only rotate in place; biasing the
+        # final conv to -4 opens the layout so the benchmark still
+        # exercises the full navigate+plan path.
+        print(f"# WARNING: {ckpt} missing — benchmarking a biased-init "
+              "(untrained) policy", file=sys.stderr, flush=True)
+        params_dict = dict(variables["params"])
+        params_dict["final2"]["Conv_0"]["bias"] = (
+            params_dict["final2"]["Conv_0"]["bias"] - 4.0
+        )
+        variables = dict(variables)
+        variables["params"] = params_dict
 
     # Fully-jitted scan rollout (one device program per rollout); vmapped
     # over scenes when --batch > 1.

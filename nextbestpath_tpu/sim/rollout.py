@@ -91,21 +91,27 @@ def move_and_capture(
     interpret: Optional[bool] = None,
 ) -> Tuple[PointBuffer, TrajectoryBuffer, jnp.ndarray]:
     """Execute one lattice move: n_steps interpolation frames, each rendered,
-    backprojected, subsampled, and appended. Returns (pc, traj, last_zbuf)."""
-    last_zbuf = jnp.zeros((intr.image_height, intr.image_width), jnp.float32)
-    for s in range(1, n_steps + 1):
-        pose = interpolate_pose(old_pose5, new_pose5, jnp.int32(s), n_steps,
-                                n_azim)
+    backprojected, subsampled, and appended. Returns (pc, traj, last_zbuf).
+
+    The substep loop is a lax.scan (not a Python unroll): the rollout scan
+    step embeds this 4x, so a rolled body keeps the traced program ~4x
+    smaller — compile time through the remote-TPU compiler is a first-order
+    cost (BASELINE.md round 1: 8-12 min per fresh process)."""
+
+    def substep(carry, s):
+        pc_c, traj_c = carry
+        pose = interpolate_pose(old_pose5, new_pose5, s, n_steps, n_azim)
         zbuf, R, T = capture_depth(tri_soa, n_tris, pose, intr)
         sub = jax.random.fold_in(key, s)
         batch = backproject_sample(
             zbuf, R, T, intr, sub, n_slots,
             gathering_factor=gathering_factor, sensor_range=sensor_range,
         )
-        pc = pc.append(batch)
-        traj = traj.append(pose[:3])
-        last_zbuf = zbuf
-    return pc, traj, last_zbuf
+        return (pc_c.append(batch), traj_c.append(pose[:3])), zbuf
+
+    (pc, traj), zbufs = jax.lax.scan(
+        substep, (pc, traj), jnp.arange(1, n_steps + 1, dtype=jnp.int32))
+    return pc, traj, zbufs[-1]
 
 
 @functools.partial(jax.jit, static_argnames=("intr", "n_slots", "interpret"))
