@@ -41,6 +41,7 @@ from ..ops.raytrace import tris_to_soa
 from ..ops.view_state import compute_view_harmonics
 from ..planning.grid_paths import DIRS
 from ..models.manydepth import disparity_to_depth
+from ..sim.curriculum import curriculum_sampling_distances
 from ..sim.proxy import ProxyField, carve_with_frame
 from ..sim.rollout import TrajectoryBuffer, move_and_capture
 from ..sim.sensor import (PointBuffer, backproject_sample, capture_depth,
@@ -317,6 +318,11 @@ def train_macarons_online(
             "depth_loss": [], "replay_occ_loss": []}
     eps_cov = 2.0 * 0.05 * float(p.scene_scale_factor) * float(
         p.surface_epsilon_factor)
+    curriculum_dists = curriculum_sampling_distances(
+        max(n_poses, 2),
+        float(3.0 * proxy.distance_between_points),
+        float(2.0 * jnp.linalg.norm(sx_max - sx_min)),
+    )
 
     for pose_i in range(n_poses):
         cov = float(coverage_percentage(gt, pc.points, pc.count, next_key()))
@@ -396,9 +402,19 @@ def train_macarons_online(
                       int(jax.random.randint(next_key(), (), 0, n_azim)))]
         cand_xyz = np.stack([positions[c[0], c[1]] for c in cands])
 
-        # Proxy/pc token samples.
-        pidx = jax.random.randint(next_key(), (n_proxy_tokens,), 0,
-                                  proxy.points.shape[0])
+        # Proxy/pc token samples, curriculum-weighted: supervision
+        # concentrates near the camera early in the trajectory and widens
+        # following get_curriculum_sampling_distances' arctan ramp
+        # (macarons_utils.py:1744-1754; reference samples within the ramp
+        # distance of observed SURFACE cells — camera-centered here, delta
+        # documented).
+        d_t = curriculum_dists[min(pose_i, len(curriculum_dists) - 1)]
+        prox_d = jnp.linalg.norm(proxy.points - cur_pose[:3][None], axis=-1)
+        cur_logits = jnp.where(prox_d <= d_t, 0.0, -jnp.inf)
+        cur_logits = jnp.where(jnp.any(prox_d <= d_t), cur_logits,
+                               jnp.zeros_like(cur_logits))
+        pidx = jax.random.categorical(next_key(), cur_logits,
+                                      shape=(n_proxy_tokens,))
         proxy_pts = proxy.points[pidx]
         sup_occ = proxy.supervision_occ[pidx]
         vh = compute_view_harmonics(proxy.view_states[None, pidx], base_h,

@@ -48,20 +48,52 @@ def main():
         params.update(image_height=64, image_width=114, points_per_frame=1024,
                       full_pc_capacity=262144, n_gt_surface_points=4096)
 
+    def scenes_from_spec(spec: str, base_seed: int):
+        """Config test_scenes entry: 'procgen:<difficulty>:<count>' generates
+        held-out scenes (seed offset 900); anything else is a reference-format
+        scene directory (possibly relative to dataset_path)."""
+        if spec.startswith("procgen:"):
+            parts = spec.split(":")
+            diff = parts[1]
+            count = int(parts[2]) if len(parts) > 2 else 1
+            return [
+                pack_generated_scene(
+                    generate_scene(diff, seed=base_seed + 900 + k),
+                    params=params)
+                for k in range(count)
+            ]
+        root = params.get("dataset_path", ".")
+        path = spec if os.path.isdir(spec) else os.path.join(root, spec)
+        return [load_scene_dir(path, params=params)]
+
     scenes = []
     if args.scene_dirs:
         for d in args.scene_dirs.split(","):
             scenes.append(load_scene_dir(d, params=params))
+    elif args.config and params.get("test_scenes"):
+        for spec in params.get("test_scenes"):
+            scenes.extend(scenes_from_spec(spec, args.seed))
     else:
         for i, diff in enumerate(args.procgen.split(",")):
             scenes.append(pack_generated_scene(
                 generate_scene(diff.strip(), seed=args.seed + i), params=params))
 
-    model = NBP()
+    if args.config and params.get("results_json_name") and \
+            args.out == "data/nbp_results.json":
+        args.out = os.path.join("data", params.get("results_json_name"))
+
+    model = NBP(dtype=jnp.bfloat16)
     variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
         jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 5)))
-    if args.weights:
-        variables, _, _, _ = load_checkpoint(args.weights, variables)
+    weights = args.weights or (params.get("nbp_weights")
+                               if args.config else None)
+    if not weights and os.path.exists("weights/nbp/nbp_best_val.ckpt"):
+        weights = "weights/nbp/nbp_best_val.ckpt"
+    if weights and os.path.exists(weights):
+        variables, _, epoch, _ = load_checkpoint(weights, variables)
+        print(f"# loaded {weights} (epoch {epoch})")
+    elif weights:
+        print(f"# WARNING: weights {weights} not found, using random init")
 
     if args.scan:
         import json as _json

@@ -131,3 +131,24 @@ def test_sample_proxy_points_weighting():
                                          min_occ=0.1))
     # Low-occupancy half (occ 0.05 < min_occ) never sampled.
     assert (idx < 50).all()
+
+
+def test_curriculum_schedules():
+    """arctan distance ramp + linear cell ramp (macarons_utils.py:1744-1764)."""
+    import numpy as np
+
+    from nextbestpath_tpu.sim.curriculum import (
+        curriculum_sampling_cell_number,
+        curriculum_sampling_distances,
+    )
+
+    d = curriculum_sampling_distances(100, 2.0, 50.0)
+    assert d.shape == (100,)
+    assert abs(d[0] - 2.0) < 1e-6 and abs(d[-1] - 50.0) < 1e-6
+    assert np.all(np.diff(d) >= 0)
+    # arctan shape: the middle ramps fastest.
+    assert (d[55] - d[45]) > (d[9] - d[0])
+
+    n = curriculum_sampling_cell_number(100)
+    assert n[0] == 5 and n[-1] == 20
+    assert n.dtype.kind == "i"
