@@ -32,6 +32,32 @@ def test_scan_rollout_smoke():
 
 
 @pytest.mark.slow
+def test_batched_b1_matches_single_scene():
+    """The two-phase batched step (scalar any-regen gate) must be
+    behaviorally identical to the single-scene step at B=1: same scene,
+    same seed, bit-equal coverage curves."""
+    from nextbestpath_tpu.eval.scan_rollout import BatchedScanRollout
+
+    params = default_params(
+        image_height=32, image_width=56, points_per_frame=256,
+        full_pc_capacity=32768, n_gt_surface_points=1024, max_path_len=32,
+        pc2img_size=[64, 64], value_map_size=[16, 16],
+    )
+    assets = pack_generated_scene(generate_scene("simple", seed=5),
+                                  params=params)
+    model = NBP()
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 5)))
+    single = ScanRollout(assets, model, variables, params=params)
+    batched = BatchedScanRollout([assets], model, variables, params=params)
+    r_s = single.run(n_poses=4, seed=8)
+    r_b = batched.run(n_poses=4, seed=8)[0]
+    np.testing.assert_allclose(r_s.coverage_evolution,
+                               r_b.coverage_evolution, atol=1e-5)
+    assert r_s.n_points == r_b.n_points
+
+
+@pytest.mark.slow
 def test_batched_scan_rollout_two_scenes():
     from nextbestpath_tpu.eval.scan_rollout import BatchedScanRollout
 
