@@ -260,7 +260,10 @@ class ScanCollection:
         valid = ~done
 
         out = CollectOut(
-            model_input=model_input[0],
+            # f16 halves the end-of-rollout device->host transfer (counts
+            # are < 2048 so exactly representable; the replay DB stores f16
+            # anyway).
+            model_input=model_input[0].astype(jnp.float16),
             gt_obs=gt_obs > 0.5,
             pose5=cur_pose5,
             rot=state.cur[2],

@@ -63,28 +63,41 @@ def init_train_state(model: NBP, key, lr: float = 1e-3,
                       optimizer=optimizer, lr=lr)
 
 
-def _batch_arrays(batch: List[Experience],
-                  pad_to: Optional[int] = None) -> Dict[str, np.ndarray]:
-    """Fixed-shape batch arrays; rows beyond len(batch) are zero-weighted
-    padding (one compiled program regardless of ragged batch tails)."""
-    B = pad_to or len(batch)
-    S = batch[0].gt_layout.shape[0]
-    x = np.zeros((B, S, S, 5), np.float32)
-    layout = np.zeros((B, S, S, 1), np.float32)
-    pixels = np.zeros((B, MAX_PIXELS, 3), np.int32)
-    gains = np.zeros((B, MAX_PIXELS), np.float32)
-    weights = np.zeros((B, MAX_PIXELS), np.float32)
-    sample_w = np.zeros((B,), np.float32)
-    for i, e in enumerate(batch):
-        x[i] = e.model_input.astype(np.float32).transpose(1, 2, 0)
-        layout[i, :, :, 0] = e.gt_layout.astype(np.float32)
+def _bucket(n: int) -> int:
+    """Pad dataset length to a power-of-two bucket: one compiled gather/train
+    program per bucket instead of one per epoch-dependent length."""
+    return max(256, 1 << max(n - 1, 1).bit_length())
+
+
+def build_device_dataset(data: List[Experience],
+                         pad_cap: Optional[int] = None):
+    """Stack a replay slice into ONE device-resident dataset.
+
+    The per-micro-step host->device transfer (13 MB/step through the remote
+    tunnel) dominated round 2's first training attempt; staging the epoch's
+    data once (f16 inputs, u8 layouts) and gathering micro batches by index
+    on device makes the inner loop compute-bound. Returns ({arrays}, n)."""
+    import jax.numpy as jnp
+
+    N = len(data)
+    cap = pad_cap or _bucket(N)
+    S = data[0].gt_layout.shape[0]
+    x = np.zeros((cap, S, S, 5), np.float16)
+    layout = np.zeros((cap, S, S), np.uint8)
+    pixels = np.zeros((cap, MAX_PIXELS, 3), np.int32)
+    gains = np.zeros((cap, MAX_PIXELS), np.float32)
+    pweights = np.zeros((cap, MAX_PIXELS), np.float32)
+    for i, e in enumerate(data):
+        x[i] = e.model_input.transpose(1, 2, 0)
+        layout[i] = e.gt_layout
         k = min(len(e.gains), MAX_PIXELS)
         pixels[i, :k] = e.pixels[:k]
         gains[i, :k] = e.gains[:k]
-        weights[i, :k] = 1.0
-        sample_w[i] = 1.0
-    return dict(x=x, layout=layout, pixels=pixels, gains=gains,
-                weights=weights, sample_weight=sample_w)
+        pweights[i, :k] = 1.0
+    ds = dict(x=jnp.asarray(x), layout=jnp.asarray(layout),
+              pixels=jnp.asarray(pixels), gains=jnp.asarray(gains),
+              pweights=jnp.asarray(pweights))
+    return ds, N
 
 
 def _gather_pred_values(value_map: jnp.ndarray, pixels: jnp.ndarray):
@@ -97,17 +110,28 @@ def _gather_pred_values(value_map: jnp.ndarray, pixels: jnp.ndarray):
     return value_map[b_idx, pixels[..., 1], pixels[..., 2], pixels[..., 0]]
 
 
-@functools.partial(jax.jit, static_argnames=("model", "optimizer"))
-def _train_step(model: NBP, optimizer, variables, opt_state, lr_scale, batch):
+@functools.partial(jax.jit, static_argnames=("model", "optimizer"),
+                   donate_argnums=(2, 3))
+def _train_step_ds(model: NBP, optimizer, variables, opt_state, lr_scale,
+                   ds, idx, sw):
+    """One micro step gathered from the device-resident dataset.
+
+    ds: build_device_dataset arrays; idx (B,) entry indices; sw (B,) row
+    weights (0 for padded tail rows)."""
+    x = ds["x"][idx].astype(jnp.float32)
+    layout = ds["layout"][idx].astype(jnp.float32)[..., None]
+    pixels = ds["pixels"][idx]
+    gains = ds["gains"][idx]
+    weights = ds["pweights"][idx] * sw[:, None]
+
     def loss_fn(params):
         (vm, om), mutated = model.apply(
             {"params": params, "batch_stats": variables["batch_stats"]},
-            batch["x"], train=True, mutable=["batch_stats"],
+            x, train=True, mutable=["batch_stats"],
         )
-        pred_vals = _gather_pred_values(vm, batch["pixels"])
-        loss = nbp_loss(params["log_vars"], pred_vals, batch["gains"],
-                        om, batch["layout"], value_weight=batch["weights"],
-                        sample_weight=batch["sample_weight"])
+        pred_vals = _gather_pred_values(vm, pixels)
+        loss = nbp_loss(params["log_vars"], pred_vals, gains,
+                        om, layout, value_weight=weights, sample_weight=sw)
         return loss, mutated
 
     (loss, mutated), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -122,69 +146,92 @@ def _train_step(model: NBP, optimizer, variables, opt_state, lr_scale, batch):
 
 
 @functools.partial(jax.jit, static_argnames=("model",))
-def _eval_step(model: NBP, variables, batch):
-    vm, om = model.apply(variables, batch["x"], train=False)
-    pred_vals = _gather_pred_values(vm, batch["pixels"])
-    w = batch["weights"]
-    mse = jnp.sum(((pred_vals - batch["gains"]) ** 2) * w) / jnp.maximum(
+def _eval_step_ds(model: NBP, variables, ds, idx, sw):
+    x = ds["x"][idx].astype(jnp.float32)
+    layout = ds["layout"][idx].astype(jnp.float32)[..., None]
+    vm, om = model.apply(variables, x, train=False)
+    pred_vals = _gather_pred_values(vm, ds["pixels"][idx])
+    w = ds["pweights"][idx] * sw[:, None]
+    mse = jnp.sum(((pred_vals - ds["gains"][idx]) ** 2) * w) / jnp.maximum(
         jnp.sum(w), 1.0)
     eps = 1e-7
     p_clip = jnp.clip(om, eps, 1 - eps)
-    bce_map = -(batch["layout"] * jnp.log(p_clip)
-                + (1 - batch["layout"]) * jnp.log(1 - p_clip))
+    bce_map = -(layout * jnp.log(p_clip)
+                + (1 - layout) * jnp.log(1 - p_clip))
     per_sample = jnp.mean(bce_map.reshape(bce_map.shape[0], -1), axis=-1)
-    sw = batch["sample_weight"]
     bce = jnp.sum(per_sample * sw) / jnp.maximum(jnp.sum(sw), 1.0)
     return mse + bce
+
+
+def _micro_chunks(indices: List[int], micro: int):
+    """(idx (micro,), sw (micro,)) chunks; ragged tails zero-weighted."""
+    for j in range(0, len(indices), micro):
+        chunk = indices[j: j + micro]
+        sw = np.zeros((micro,), np.float32)
+        sw[: len(chunk)] = 1.0
+        idx = np.zeros((micro,), np.int32)
+        idx[: len(chunk)] = chunk
+        yield jnp.asarray(idx), jnp.asarray(sw)
+
+
+def train_epoch_ds(model: NBP, state: TrainState, ds, index_pool: List[int],
+                   rng: random.Random, micro_batch: int = MICRO_BATCH
+                   ) -> Tuple[TrainState, float]:
+    """One pass over the staged dataset (train_experience_data,
+    nbp_utils.py:340-428). Gradient accumulation to the logical batch runs
+    through optax.MultiSteps; every transfer is a (micro,) index vector."""
+    pool = list(index_pool)
+    rng.shuffle(pool)
+    losses = []
+    for idx, sw in _micro_chunks(pool, micro_batch):
+        new_vars, new_opt, loss = _train_step_ds(
+            model, state.optimizer, state.variables, state.opt_state,
+            jnp.float32(1.0), ds, idx, sw,
+        )
+        state = dataclasses.replace(state, variables=new_vars,
+                                    opt_state=new_opt)
+        losses.append(loss)
+    return state, float(np.mean([float(l) for l in losses])) if losses else 0.0
+
+
+def validate_ds(model: NBP, state: TrainState, ds, n: int,
+                micro_batch: int = MICRO_BATCH) -> float:
+    losses = []
+    for idx, sw in _micro_chunks(list(range(n)), micro_batch):
+        losses.append(_eval_step_ds(model, state.variables, ds, idx, sw))
+    return float(np.mean([float(l) for l in losses])) if losses else 0.0
 
 
 def train_epoch(model: NBP, state: TrainState, data: List[Experience],
                 batch_size: int, current_epoch: int,
                 rng: random.Random,
                 micro_batch: int = MICRO_BATCH) -> Tuple[TrainState, float]:
-    """One pass over the data (train_experience_data, nbp_utils.py:340-428).
-
-    Logical batches of `batch_size` are processed as fixed-shape micro
-    batches of `micro_batch` (gradient accumulation through optax.MultiSteps
-    handles the averaging; fixed shapes keep a single compiled program and
-    fit the 55M-param U-Net in v5e HBM).
-    """
-    rng.shuffle(data)
+    """List-API wrapper: stage `data` on device, then run one epoch.
+    (The reference's epoch-1 rule skips samples with pose_i <= 10,
+    nbp_utils.py:352.)"""
+    ds, n = build_device_dataset(data)
+    pool = [i for i, e in enumerate(data)
+            if (e.pose_i > 10 and current_epoch == 1) or current_epoch > 1]
     micro = min(micro_batch, batch_size)
-    losses = []
-    for i in range(0, len(data), batch_size):
-        batch = [
-            e for e in data[i: i + batch_size]
-            if (e.pose_i > 10 and current_epoch == 1) or current_epoch > 1
-        ]
-        if not batch:
-            continue
-        for j in range(0, len(batch), micro):
-            arrays = {
-                k: jnp.asarray(v)
-                for k, v in _batch_arrays(batch[j: j + micro],
-                                          pad_to=micro).items()
-            }
-            new_vars, new_opt, loss = _train_step(
-                model, state.optimizer, state.variables, state.opt_state,
-                jnp.float32(1.0), arrays,
-            )
-            state = dataclasses.replace(state, variables=new_vars,
-                                        opt_state=new_opt)
-            losses.append(float(loss))
-    return state, float(np.mean(losses)) if losses else 0.0
+    return train_epoch_ds(model, state, ds, pool, rng, micro_batch=micro)
+
+
+_VAL_DS_CACHE: Dict[int, Tuple[Any, int]] = {}
 
 
 def validate(model: NBP, state: TrainState, data: List[Experience],
              batch_size: int, micro_batch: int = MICRO_BATCH) -> float:
-    micro = min(micro_batch, batch_size)
-    losses = []
-    for i in range(0, len(data), micro):
-        batch = data[i: i + micro]
-        arrays = {k: jnp.asarray(v)
-                  for k, v in _batch_arrays(batch, pad_to=micro).items()}
-        losses.append(float(_eval_step(model, state.variables, arrays)))
-    return float(np.mean(losses)) if losses else 0.0
+    if not data:
+        return 0.0
+    key = id(data)
+    cached = _VAL_DS_CACHE.get(key)
+    if cached is None or cached[1] != len(data):
+        _VAL_DS_CACHE.clear()
+        _VAL_DS_CACHE[key] = build_device_dataset(data)
+        cached = _VAL_DS_CACHE[key]
+    ds, n = cached
+    return validate_ds(model, state, ds, n,
+                       micro_batch=min(micro_batch, batch_size))
 
 
 class PlateauScheduler:
@@ -220,13 +267,21 @@ def train_nbp(model: NBP, state: TrainState, db: ReplayDB,
     if current_epoch == 1:
         data = db.read_combined(last_n=None)
     else:
-        data = db.read_combined()
+        # Bounded slice (newest 4608 + sampled 2048 older) so the staged
+        # device dataset fits HBM next to model/optimizer/activations.
+        data = db.read_combined(last_n=4608, sample_size=2048)
     sched = PlateauScheduler()
     lr = state.lr
     train_losses, val_losses = [], []
+    # Stage the slice on device ONCE for all inner epochs (f16/u8 arrays;
+    # micro steps gather by index — no per-step host transfers).
+    ds, _ = build_device_dataset(data)
+    pool = [i for i, e in enumerate(data)
+            if (e.pose_i > 10 and current_epoch == 1) or current_epoch > 1]
+    micro = min(MICRO_BATCH, int(p.nbp_batch_size))
     for e in range(num_epochs):
-        state, tl = train_epoch(model, state, list(data),
-                                int(p.nbp_batch_size), current_epoch, rng)
+        state, tl = train_epoch_ds(model, state, ds, pool, rng,
+                                   micro_batch=micro)
         vl = validate(model, state, validation_data, int(p.nbp_batch_size))
         train_losses.append(tl)
         val_losses.append(vl)
