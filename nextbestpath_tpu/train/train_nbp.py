@@ -235,11 +235,17 @@ def validate(model: NBP, state: TrainState, data: List[Experience],
 
 
 class PlateauScheduler:
-    """ReduceLROnPlateau(mode=min, factor, patience) on the host."""
+    """ReduceLROnPlateau(mode=min, factor, patience) on the host.
 
-    def __init__(self, factor: float = 0.1, patience: int = 2):
+    min_lr floors the decay (torch defaults to 0; with a small/noisy
+    validation set, patience-2 over 5 inner epochs x tens of outer epochs
+    would decay the LR to nothing and freeze the run — delta documented)."""
+
+    def __init__(self, factor: float = 0.1, patience: int = 2,
+                 min_lr: float = 1e-5):
         self.factor = factor
         self.patience = patience
+        self.min_lr = min_lr
         self.best = float("inf")
         self.bad = 0
 
@@ -251,7 +257,7 @@ class PlateauScheduler:
         self.bad += 1
         if self.bad > self.patience:
             self.bad = 0
-            return lr * self.factor
+            return max(lr * self.factor, self.min_lr)
         return lr
 
 
