@@ -23,8 +23,12 @@ def save_checkpoint(path: str, variables: Any, opt_state: Any = None,
     }
     if opt_state is not None:
         payload["opt_state"] = serialization.to_bytes(opt_state)
-    with open(path, "wb") as f:
+    # Atomic write: a kill mid-save must never corrupt the resume contract
+    # (and concurrent readers always see a complete file).
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         pickle.dump(payload, f)
+    os.replace(tmp, path)
 
 
 def load_checkpoint(path: str, variables_template: Any,
