@@ -152,9 +152,17 @@ def run_training_nbp_scan(
         variables, opt_state, epoch, extra = load_checkpoint(
             latest_path, state.variables, state.opt_state)
         import dataclasses as _dc
+        import jax.numpy as _jnp
 
+        # Clamp the resumed LR: the plateau scheduler can decay it to
+        # nothing on a noisy validation set; a resumed run gets at least
+        # resume_min_lr back (the scheduler will re-decay if warranted).
+        resume_min_lr = 1e-4
+        lr = max(float(extra.get("lr", state.lr)), resume_min_lr)
+        opt_state.inner_opt_state.hyperparams["learning_rate"] = (
+            _jnp.asarray(lr))
         state = _dc.replace(state, variables=variables, opt_state=opt_state,
-                            lr=float(extra.get("lr", state.lr)))
+                            lr=lr)
         best_val = float(extra.get("best_val", best_val))
         start_epoch = int(epoch) + 1
         if db_dir:
