@@ -42,6 +42,7 @@ import numpy as np
 from ..assets.scene_assets import SceneAssets
 from ..config import Params, default_params
 from ..geometry.cameras import CameraIntrinsics
+from ..models.fold import fold_bn_variables, fold_model_and_variables
 from ..models.unet import NBP
 from ..ops.coverage import compute_auc, coverage_percentage
 from ..ops.raytrace import tris_to_soa
@@ -188,13 +189,20 @@ class ScanRollout:
                  params: Optional[Params] = None,
                  interpret: Optional[bool] = None,
                  max_plan_retries: int = 4,
-                 ablate: Tuple[str, ...] = ()):
+                 ablate: Tuple[str, ...] = (),
+                 fold_bn: bool = True):
         # ablate: profiling switch ('coverage' | 'plan' | 'capture' |
         # 'model_input') removes a stage from the step to attribute cost.
         self.ablate = tuple(ablate)
         self.p = params or default_params()
         p = self.p
         self.assets = assets
+        # Eval-only program: fold BatchNorm into conv weights (exact for the
+        # frozen running stats the eval forward uses; models/fold.py).
+        if fold_bn:
+            nbp_model, nbp_variables = fold_model_and_variables(
+                nbp_model, nbp_variables)
+        self._fold_bn = fold_bn
         self.model = nbp_model
         self.variables = nbp_variables
         self.intr = CameraIntrinsics(
@@ -550,6 +558,8 @@ class ScanRollout:
             variables=None) -> RolloutResult:
         rollout = self._rollout_fn(n_poses)
         state = self.initial_state(seed=seed, n_poses=n_poses)
+        if variables is not None and self._fold_bn:
+            variables = fold_bn_variables(variables)
         v = variables if variables is not None else self.variables
         t1 = time.time()
         final, coverage = rollout(self.scene, v, state)
@@ -637,6 +647,8 @@ class BatchedScanRollout:
         states = [r.initial_state(seed=seed + i, n_poses=n_poses)
                   for i, r in enumerate(self.rollouts)]
         batched = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+        if variables is not None and self.rollouts[0]._fold_bn:
+            variables = fold_bn_variables(variables)
         v = variables if variables is not None else self.rollouts[0].variables
         if self.mesh is not None:
             batched = jax.device_put(batched, self._data_sharding)

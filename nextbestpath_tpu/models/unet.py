@@ -64,13 +64,15 @@ class ConvBlock(nn.Module):
     features: int
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         for _ in range(2):
             x = TorchConv(self.features, dtype=self.dtype)(x)
-            x = nn.BatchNorm(use_running_average=not train,
-                             axis_name=self.axis_name, dtype=jnp.float32)(x)
+            if not self.fold_bn:
+                x = nn.BatchNorm(use_running_average=not train,
+                                 axis_name=self.axis_name, dtype=jnp.float32)(x)
             x = nn.relu(x)
         return x
 
@@ -81,14 +83,16 @@ class UpConv(nn.Module):
     features: int
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         B, H, W, C = x.shape
         x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
         x = TorchConv(self.features, dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train,
-                         axis_name=self.axis_name, dtype=jnp.float32)(x)
+        if not self.fold_bn:
+            x = nn.BatchNorm(use_running_average=not train,
+                             axis_name=self.axis_name, dtype=jnp.float32)(x)
         return nn.relu(x)
 
 
@@ -98,10 +102,13 @@ class AttentionGate(nn.Module):
     f_int: int
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, g, x, train: bool):
         def bn(h):
+            if self.fold_bn:
+                return h
             return nn.BatchNorm(use_running_average=not train,
                                 axis_name=self.axis_name, dtype=jnp.float32)(h)
 
@@ -125,10 +132,15 @@ class NBP(nn.Module):
     width: int = 64  # encoder base width (reference: 64 -> ... -> 1024)
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
+    # Inference mode: BatchNorm folded into the preceding conv's kernel/bias
+    # (use with variables from models.fold.fold_bn_variables). Removes every
+    # BN op (f32 scale/shift over full-res activations) from the eval forward.
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        kw = dict(dtype=self.dtype, axis_name=self.axis_name,
+                  fold_bn=self.fold_bn)
         pool = lambda h: nn.max_pool(h, (2, 2), strides=(2, 2))
         w = self.width
 

@@ -65,10 +65,15 @@ class ReplayDB:
 
     def extract_validation(self, num: int = 1200) -> List[Experience]:
         """Move every-Nth entry out into a validation set
-        (store_validation_data, nbp_utils.py:77-99)."""
+        (store_validation_data, nbp_utils.py:77-99).
+
+        Min stride 4: the reference carves 1200 out of a DB tens of times
+        larger, so its stride is always >> 1; on small runs (few scenes) a
+        naive ceil() would move EVERY entry to validation and leave epoch 0's
+        data out of training entirely."""
         if not self.entries:
             return []
-        n = math.ceil(len(self.entries) / num)
+        n = max(math.ceil(len(self.entries) / num), 4)
         val, keep = [], []
         for i, e in enumerate(self.entries):
             if i % n == 0 and len(val) < num:

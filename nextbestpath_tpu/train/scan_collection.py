@@ -58,6 +58,7 @@ from ..sim.rollout import TrajectoryBuffer, move_and_capture, observe_current
 from ..sim.sensor import PointBuffer
 from ..sim.tables import build_scene_tables
 from ..eval.nbp_planning import build_model_input
+from ..models.fold import fold_bn_variables
 from .replay import ReplayDB
 
 _PROGRAM_CACHE = {}
@@ -121,7 +122,8 @@ class ScanCollection:
                  params: Optional[Params] = None,
                  interpret: Optional[bool] = None,
                  boltzmann_beta: float = 0.5,
-                 rotation_override_p: float = 0.6):
+                 rotation_override_p: float = 0.6,
+                 fold_bn: bool = True):
         assert assets_list, "need at least one scene"
         shapes = {(a.pose_l, a.pose_h, a.n_azim) for a in assets_list}
         assert len(shapes) == 1, (
@@ -129,6 +131,11 @@ class ScanCollection:
             "use pad_assets_to_common")
         self.p = params or default_params()
         p = self.p
+        # Collection forwards are eval-mode (nbp.eval() during rollouts,
+        # train_nbp_model.py:103); fold BN into conv weights per run().
+        self._fold_bn = fold_bn
+        if fold_bn:
+            nbp_model = nbp_model.clone(fold_bn=True)
         self.model = nbp_model
         self.interpret = interpret
         self.beta = float(boltzmann_beta)
@@ -343,6 +350,8 @@ class ScanCollection:
     def run(self, scene_idx: int, variables, seed: int = 0,
             n_poses: int = 100) -> CollectOut:
         """One rollout; returns host-side stacked CollectOut arrays."""
+        if self._fold_bn:
+            variables = fold_bn_variables(variables)
         rollout = self._rollout_fn(n_poses)
         state = self.initial_state(scene_idx, seed, n_poses)
         _, out = rollout(self.scenes[scene_idx], variables, state)

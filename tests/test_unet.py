@@ -44,6 +44,36 @@ def test_nbp_train_mode_updates_batch_stats():
     )
 
 
+def test_fold_bn_parity():
+    """NBP(fold_bn=True) with folded variables reproduces the eval forward
+    exactly (models/fold.py): run a train step first so batch_stats are
+    non-trivial, then compare eval outputs."""
+    from nextbestpath_tpu.models.fold import fold_model_and_variables
+
+    model = NBP(width=8)
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (2, 64, 64, 5))
+    variables = _init(model, x)
+    # Non-trivial running stats (train pass on shifted/scaled input); params
+    # stay at init so activations stay O(1) and tolerances are meaningful.
+    (_, _), mutated = model.apply(variables, x * 3.0 + 1.0, train=True,
+                                  mutable=["batch_stats"])
+    variables = {"params": variables["params"],
+                 "batch_stats": mutated["batch_stats"]}
+
+    v_ref, o_ref = model.apply(variables, x, train=False)
+    fmodel, fvars = fold_model_and_variables(model, variables)
+    assert "batch_stats" not in fvars
+    v_f, o_f = fmodel.apply(fvars, x, train=False)
+    np.testing.assert_allclose(np.asarray(v_f), np.asarray(v_ref),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(o_f), np.asarray(o_ref),
+                               rtol=1e-3, atol=1e-3)
+    # Idempotent: folding folded variables is a no-op.
+    fmodel2, fvars2 = fold_model_and_variables(fmodel, fvars)
+    assert fmodel2 is fmodel and fvars2 is fvars
+
+
 def test_nbp_loss_formula():
     lv = jnp.asarray([0.3, -0.2])
     pv = jnp.asarray([1.0, 2.0])
