@@ -21,7 +21,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_F32 = jax.lax.Precision.HIGHEST
+# 3-pass bf16 (~f32-equivalent for the MXU): centered coords are O(1e2), so
+# d^2 terms are O(1e4) and the 3-pass relative error (~5e-7) leaves ~5e-3
+# absolute slack against the 1.0 threshold. HIGHEST (6-pass) doubles the MXU
+# cost of the every-pose metric for no measurable metric change; plain bf16
+# (DEFAULT) is NOT enough (~40 absolute error at 1e4).
+_F32 = jax.lax.Precision.HIGH
 _BIG = jnp.float32(1e30)
 
 
@@ -123,4 +128,5 @@ def coverage_percentage(gt: jnp.ndarray, pts: jnp.ndarray, count: jnp.ndarray,
 def compute_auc(y: np.ndarray, dx: float = 1.0 / 40.0) -> float:
     """Trapezoid AUC + half-first-sample (long_term_utils.py:488-490)."""
     y = np.asarray(y, dtype=np.float64)
-    return float(np.trapz(y, dx=dx) + y[0] * dx / 2.0)
+    trapezoid = getattr(np, "trapezoid", np.trapz)
+    return float(trapezoid(y, dx=dx) + y[0] * dx / 2.0)

@@ -104,27 +104,44 @@ def bfs_distance_field(blocked: jnp.ndarray, start_lh: jnp.ndarray,
     """(L, H) unit-cost shortest-path distances from start (INF unreachable).
 
     blocked: (4, L, H), blocked[d, i, j] == edge (i,j) -> (i,j)+DIRS[d]
-    impassable. Bellman–Ford over L+H sweeps (grid diameter bound).
+    impassable. Bellman–Ford iterated to the fixpoint via while_loop: a
+    fixed L+H sweep count would be both wasteful on open grids (typical
+    eccentricity is far below it) and WRONG on mazes, where the shortest
+    path can wind for up to ~L*H/2 steps. The L*H cap is the true bound.
+
+    Loop-invariant edge masks are hoisted out of the loop body (XLA does not
+    move code across while-loop iterations).
     """
     il = jnp.arange(L)[:, None]
     ih = jnp.arange(H)[None, :]
     dist0 = jnp.where((il == start_lh[0]) & (ih == start_lh[1]), 0, INF)
 
-    def sweep(dist, _):
+    # Incoming edge to (i, j) from src = (i, j) - DIRS[d] uses blocked[d]
+    # evaluated at the source node. jnp.roll wraps, so explicitly invalidate
+    # entries whose source is off-grid.
+    bad = []
+    for d, (dl, dh) in enumerate(DIRS):
+        src_blocked = jnp.roll(blocked[d], shift=(dl, dh), axis=(0, 1))
+        src_off = ((il - dl < 0) | (il - dl >= L)
+                   | (ih - dh < 0) | (ih - dh >= H))
+        bad.append(src_blocked | src_off)
+    bad = jnp.stack(bad)
+
+    def body(carry):
+        dist, it, _ = carry
         best = dist
         for d, (dl, dh) in enumerate(DIRS):
-            # Incoming edge to (i, j) from src = (i, j) - DIRS[d] uses
-            # blocked[d] evaluated at the source node. jnp.roll wraps, so
-            # explicitly invalidate entries whose source is off-grid.
-            src_dist = jnp.roll(dist, shift=(dl, dh), axis=(0, 1))
-            src_blocked = jnp.roll(blocked[d], shift=(dl, dh), axis=(0, 1))
-            src_off = ((il - dl < 0) | (il - dl >= L)
-                       | (ih - dh < 0) | (ih - dh >= H))
-            cand = jnp.where(src_blocked | src_off, INF, src_dist + 1)
+            cand = jnp.where(bad[d], INF,
+                             jnp.roll(dist, shift=(dl, dh), axis=(0, 1)) + 1)
             best = jnp.minimum(best, cand)
-        return best, None
+        return best, it + 1, jnp.any(best < dist)
 
-    dist, _ = jax.lax.scan(sweep, dist0, None, length=L + H)
+    def cond(carry):
+        _, it, changed = carry
+        return changed & (it < L * H)
+
+    dist, _, _ = jax.lax.while_loop(
+        cond, body, (dist0, jnp.int32(0), jnp.bool_(True)))
     return dist
 
 
@@ -140,9 +157,15 @@ def extract_path(dist: jnp.ndarray, blocked: jnp.ndarray,
     """
     goal_dist = dist[goal_lh[0], goal_lh[1]]
     reachable = goal_dist < INF
+    path_len = jnp.minimum(goal_dist, max_len)
+    # Only the first path_len backwalk steps are ever read below; an
+    # early-exit while_loop walks exactly that many (typical paths are a
+    # fraction of max_len, and unreachable goals walk zero steps).
+    limit = jnp.where(reachable, path_len, 0)
 
-    def body(carry, _):
-        node, d = carry
+    def body(carry):
+        node, d, it, buf = carry
+        buf = buf.at[it].set(node)  # pre-step node: buf[0] == goal
         best_node = node
         found = jnp.bool_(False)
         for k, (dl, dh) in enumerate(DIRS):
@@ -157,14 +180,19 @@ def extract_path(dist: jnp.ndarray, blocked: jnp.ndarray,
             good = ok_bounds & edge_ok & (pred_d == d - 1) & (~found) & (d > 0)
             best_node = jnp.where(good, jnp.stack([plc, phc]), best_node)
             found = found | good
-        return (best_node, jnp.maximum(d - 1, 0)), node
+        return best_node, jnp.maximum(d - 1, 0), it + 1, buf
 
-    (_, _), rev_nodes = jax.lax.scan(
-        body, (goal_lh, goal_dist), None, length=max_len
+    def cond(carry):
+        _, _, it, _ = carry
+        return it < limit
+
+    _, _, _, rev_nodes = jax.lax.while_loop(
+        cond, body,
+        (goal_lh, goal_dist, jnp.int32(0),
+         jnp.full((max_len, 2), -1, jnp.int32)),
     )
     # rev_nodes[0] == goal, walking backwards. Re-order to start -> goal and
     # drop everything past the path length.
-    path_len = jnp.minimum(goal_dist, max_len)
     idx = path_len - 1 - jnp.arange(max_len)
     idx_c = jnp.clip(idx, 0, max_len - 1)
     path = rev_nodes[idx_c]

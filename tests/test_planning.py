@@ -99,6 +99,29 @@ def test_bfs_field_matches_dijkstra():
                 assert got == want, (i, j, got, want)
 
 
+def test_bfs_field_serpentine_longer_than_grid_diameter():
+    """Maze whose shortest path winds for ~L*H steps: a fixed L+H sweep
+    count (the old implementation) under-converges here; the fixpoint
+    while_loop must match exact Dijkstra anyway."""
+    L, H = 10, 10
+    blocked = np.zeros((4, L, H), bool)
+    # Serpentine: walls between column pairs except at alternating row ends,
+    # forcing the path 0,0 -> 9,9 to traverse every column.
+    for j in range(H - 1):
+        open_row = (L - 1) if j % 2 == 0 else 0
+        for i in range(L):
+            if i != open_row:
+                blocked[2, i, j] = True      # (i,j) -> (i,j+1)
+                blocked[3, i, j + 1] = True  # reverse edge
+    start = (0, 0)
+    ref = _ref_dijkstra_dists(L, H, blocked, start)
+    assert ref[(L - 1, H - 1)] > L + H  # the scenario is actually long
+    dist = np.asarray(
+        bfs_distance_field(jnp.asarray(blocked), jnp.asarray(start), L, H))
+    for (i, j), want in ref.items():
+        assert int(dist[i, j]) == want, (i, j, int(dist[i, j]), want)
+
+
 def test_extract_path_valid():
     L, H = 10, 10
     blocked = jnp.zeros((4, L, H), bool)
