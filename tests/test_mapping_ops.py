@@ -107,7 +107,7 @@ def test_coverage_percentage_basics():
 
 def test_compute_auc_matches_reference_formula():
     y = [0.1, 0.5, 0.9]
-    want = np.trapz(y, dx=1 / 40) + y[0] * (1 / 40) / 2
+    want = getattr(np, "trapezoid", np.trapz)(y, dx=1 / 40) + y[0] * (1 / 40) / 2
     assert abs(compute_auc(y) - want) < 1e-12
 
 
