@@ -70,7 +70,8 @@ def build_model_input(pc: PointBuffer, traj: TrajectoryBuffer,
     trajectory count image (nbp_planning.py:111-132).
     """
     pc_imgs = binned_count_imgs(pc.points, pc.valid_mask(), cam_xyz, y_bins,
-                                n_pieces, img_size, grid_range)
+                                n_pieces, img_size, grid_range,
+                                count=pc.count)
     traj_img = count_img(traj.xyz, traj.valid_mask(), cam_xyz, img_size,
                          grid_range)
     x = jnp.concatenate([pc_imgs, traj_img[None]], axis=0)  # (C, S, S)
@@ -92,12 +93,14 @@ def fuse_layout(pred_obstacle: jnp.ndarray, pc: PointBuffer,
     """
     layout = (pred_obstacle >= OBSTACLE_THRESHOLD).astype(jnp.float32)
     valid = pc.valid_mask()
-    proj = count_img(pc.points, valid, cam_pose5[:3], img_size, grid_range)
+    proj = count_img(pc.points, valid, cam_pose5[:3], img_size, grid_range,
+                     count=pc.count)
     proj = jnp.minimum(proj, 1.0)
 
     cam_y = cam_pose5[1]
     height_slice = valid & (pc.points[:, 1] < cam_y + 0.1) & (pc.points[:, 1] > cam_y - 0.1)
-    filt = count_img(pc.points, height_slice, cam_pose5[:3], img_size, grid_range)
+    filt = count_img(pc.points, height_slice, cam_pose5[:3], img_size,
+                     grid_range, count=pc.count)
     filt = jnp.minimum(filt, 1.0)
 
     layout = jnp.where(proj > 0, filt, layout)

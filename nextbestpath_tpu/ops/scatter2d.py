@@ -13,9 +13,43 @@ All ops take fixed-capacity point buffers with validity masks.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
+
+# Chunk length for count-bounded scatters. Point buffers are append-only
+# with a valid [0, count) prefix (sim/sensor.py PointBuffer), so scattering
+# chunk-by-chunk up to ceil(count / chunk) skips the (often large) invalid
+# tail: early in a rollout the 2M-capacity buffer is nearly empty and the
+# every-pose projection pays only for what it holds.
+_SCATTER_CHUNK = 131072
+
+
+def _count_bounded_add(out: jnp.ndarray, idx_arrays, ok: jnp.ndarray,
+                       count: jnp.ndarray, chunk: int = _SCATTER_CHUNK
+                       ) -> jnp.ndarray:
+    """out.at[idx_arrays].add(ok) over the first ceil(count/chunk) chunks."""
+    n = ok.shape[0]
+    if n <= chunk:
+        return out.at[tuple(idx_arrays)].add(ok.astype(out.dtype))
+    n_chunks = (n + chunk - 1) // chunk
+    pad = n_chunks * chunk - n
+    if pad:
+        idx_arrays = [jnp.pad(a, (0, pad)) for a in idx_arrays]
+        ok = jnp.pad(ok, (0, pad))  # padded slots: False -> adds 0
+    needed = (jnp.minimum(count, n) + chunk - 1) // chunk
+
+    def body(carry):
+        img, i = carry
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * chunk, chunk)
+        idxs = tuple(sl(a) for a in idx_arrays)
+        img = img.at[idxs].add(sl(ok).astype(img.dtype))
+        return img, i + 1
+
+    out, _ = jax.lax.while_loop(lambda c: c[1] < needed, body,
+                                (out, jnp.int32(0)))
+    return out
 
 
 def ego2d(points: jnp.ndarray, cam_xyz: jnp.ndarray) -> jnp.ndarray:
@@ -41,12 +75,14 @@ def img_coords(points_2d: jnp.ndarray, grid_size: int,
 
 
 def scatter_count_img(points_2d: jnp.ndarray, valid: jnp.ndarray,
-                      grid_size: int, grid_range: Tuple[float, float]
-                      ) -> jnp.ndarray:
+                      grid_size: int, grid_range: Tuple[float, float],
+                      count: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Scatter-accumulate point counts into a (grid_size, grid_size) image.
 
     Equivalent to map_points_to_n_imgs for a single batch (utils.py:198-223):
-    out-of-range points are dropped.
+    out-of-range points are dropped. `count` (for prefix-compacted buffers)
+    bounds the scatter to the valid prefix — exact, since slots past count
+    are invalid anyway.
     """
     ij = img_coords(points_2d, grid_size, grid_range)
     ok = (
@@ -56,7 +92,9 @@ def scatter_count_img(points_2d: jnp.ndarray, valid: jnp.ndarray,
     )
     ij = jnp.clip(ij, 0, grid_size - 1)
     img = jnp.zeros((grid_size, grid_size), jnp.float32)
-    return img.at[ij[:, 0], ij[:, 1]].add(ok.astype(jnp.float32))
+    if count is None:
+        return img.at[ij[:, 0], ij[:, 1]].add(ok.astype(jnp.float32))
+    return _count_bounded_add(img, [ij[:, 0], ij[:, 1]], ok, count)
 
 
 def height_bins(verts_min_y: jnp.ndarray, verts_max_y: jnp.ndarray,
@@ -84,7 +122,8 @@ def bucketize_bins(y: jnp.ndarray, y_bins: jnp.ndarray) -> jnp.ndarray:
 def binned_count_imgs(points: jnp.ndarray, valid: jnp.ndarray,
                       cam_xyz: jnp.ndarray, y_bins: jnp.ndarray,
                       n_pieces: int, grid_size: int,
-                      grid_range: Tuple[float, float]) -> jnp.ndarray:
+                      grid_range: Tuple[float, float],
+                      count: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """(n_pieces, S, S) count images of a point buffer split by height bin.
 
     Fuses the reference's per-bin Python loop (nbp_planning.py:113-125) into
@@ -102,10 +141,14 @@ def binned_count_imgs(points: jnp.ndarray, valid: jnp.ndarray,
     b = jnp.clip(b, 0, n_pieces - 1)
     ij = jnp.clip(ij, 0, grid_size - 1)
     out = jnp.zeros((n_pieces, grid_size, grid_size), jnp.float32)
-    return out.at[b, ij[:, 0], ij[:, 1]].add(ok.astype(jnp.float32))
+    if count is None:
+        return out.at[b, ij[:, 0], ij[:, 1]].add(ok.astype(jnp.float32))
+    return _count_bounded_add(out, [b, ij[:, 0], ij[:, 1]], ok, count)
 
 
 def count_img(points: jnp.ndarray, valid: jnp.ndarray, cam_xyz: jnp.ndarray,
-              grid_size: int, grid_range: Tuple[float, float]) -> jnp.ndarray:
+              grid_size: int, grid_range: Tuple[float, float],
+              count: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Single count image of a 3D point buffer (no height split)."""
-    return scatter_count_img(ego2d(points, cam_xyz), valid, grid_size, grid_range)
+    return scatter_count_img(ego2d(points, cam_xyz), valid, grid_size,
+                             grid_range, count=count)

@@ -81,6 +81,40 @@ def test_binned_imgs_equal_reference_loop():
         np.testing.assert_array_equal(ours[i], ref_i)
 
 
+def test_count_bounded_scatter_matches_direct():
+    """Chunked while_loop scatter (count-bounded) is exact vs the direct
+    scatter for a prefix-compacted buffer, including partial last chunks."""
+    from nextbestpath_tpu.ops.scatter2d import _count_bounded_add
+
+    rng = np.random.default_rng(7)
+    n, size = 1000, 32
+    ij = rng.integers(0, size, size=(2, n)).astype(np.int32)
+    for cnt in (0, 1, 17, 999, 1000):
+        ok = np.arange(n) < cnt
+        direct = np.zeros((size, size), np.float32)
+        np.add.at(direct, (ij[0][ok], ij[1][ok]), 1.0)
+        got = np.asarray(_count_bounded_add(
+            jnp.zeros((size, size), jnp.float32),
+            [jnp.asarray(ij[0]), jnp.asarray(ij[1])],
+            jnp.asarray(ok), jnp.int32(cnt), chunk=64))
+        np.testing.assert_array_equal(got, direct)
+
+
+def test_binned_imgs_count_kwarg_equivalence():
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-30, 30, size=(640, 3)).astype(np.float32)
+    pts[:, 1] = rng.uniform(0.0, 9.0, size=640)
+    cam = np.array([0.0, 3.3, 0.0], np.float32)
+    y_bins = jnp.asarray(height_bins(jnp.float32(0.0), jnp.float32(9.0), 4))
+    cnt = 500
+    valid = jnp.arange(640) < cnt
+    a = binned_count_imgs(jnp.asarray(pts), valid, jnp.asarray(cam), y_bins,
+                          4, 64, (-40.0, 40.0))
+    b = binned_count_imgs(jnp.asarray(pts), valid, jnp.asarray(cam), y_bins,
+                          4, 64, (-40.0, 40.0), count=jnp.int32(cnt))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_coverage_percentage_basics():
     key = jax.random.PRNGKey(0)
     # Well-separated GT points (spacing 4 > threshold 1 + shift margins) so
