@@ -261,6 +261,38 @@ class PlateauScheduler:
         return lr
 
 
+class EarlyStopping:
+    """Patience/min-delta early stopping (EarlyStopping, nbp_utils.py:180-199;
+    defined by the reference for the NBP trainer, available here on the same
+    terms). Call with each validation loss; ``early_stop`` latches True after
+    ``patience`` non-improving calls."""
+
+    def __init__(self, patience: int = 5, min_delta: float = 0.2):
+        self.patience = patience
+        self.min_delta = min_delta
+        self.counter = 0
+        self.best_loss = float("inf")
+        self.early_stop = False
+
+    def __call__(self, val_loss: float) -> bool:
+        if self.best_loss - val_loss > self.min_delta:
+            self.best_loss = val_loss
+            self.counter = 0
+        else:
+            self.counter += 1
+            if self.counter >= self.patience:
+                self.early_stop = True
+        return self.early_stop
+
+
+def count_parameters(variables) -> int:
+    """Trainable parameter count (count_parameters, nbp_utils.py:201-202)."""
+    import numpy as _np
+
+    return sum(int(_np.prod(p.shape))
+               for p in jax.tree.leaves(variables["params"]))
+
+
 def train_nbp(model: NBP, state: TrainState, db: ReplayDB,
               validation_data: List[Experience], current_epoch: int,
               params: Optional[Params] = None, num_epochs: int = 5,

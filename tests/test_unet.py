@@ -74,6 +74,24 @@ def test_fold_bn_parity():
     assert fmodel2 is fmodel and fvars2 is fvars
 
 
+def test_early_stopping_and_param_count():
+    from nextbestpath_tpu.train.train_nbp import EarlyStopping, count_parameters
+
+    es = EarlyStopping(patience=2, min_delta=0.1)
+    for v in (5.0, 4.0, 3.0):
+        assert not es(v)        # improving
+    assert not es(2.95)         # within min_delta: counter 1
+    assert es(2.99)             # counter 2 -> stop latches
+    assert es.early_stop
+
+    model = NBP(width=8)
+    variables = _init(model, jnp.zeros((1, 64, 64, 5)))
+    n = count_parameters(variables)
+    direct = sum(int(np.prod(p.shape))
+                 for p in jax.tree.leaves(variables["params"]))
+    assert n == direct > 0
+
+
 def test_nbp_loss_formula():
     lv = jnp.asarray([0.3, -0.2])
     pv = jnp.asarray([1.0, 2.0])
