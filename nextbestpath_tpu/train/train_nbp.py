@@ -239,10 +239,14 @@ class PlateauScheduler:
 
     min_lr floors the decay (torch defaults to 0; with a small/noisy
     validation set, patience-2 over 5 inner epochs x tens of outer epochs
-    would decay the LR to nothing and freeze the run — delta documented)."""
+    would decay the LR to nothing and freeze the run — delta documented).
+    The floor is 1e-4: runs at this scale validate on a few hundred samples,
+    where inner-epoch val noise trips the plateau long before the policy has
+    converged (measured: decay to 1e-5 by outer epoch 5 while held-out eval
+    AUC was still climbing)."""
 
     def __init__(self, factor: float = 0.1, patience: int = 2,
-                 min_lr: float = 1e-5):
+                 min_lr: float = 1e-4):
         self.factor = factor
         self.patience = patience
         self.min_lr = min_lr
