@@ -149,15 +149,24 @@ class Memory:
             self, scene_memory_path: str, intr, n_frames: int = 8,
             points_per_frame: int = 2048,
             rng: Optional[random.Random] = None,
-            sensor_range: float = 70.0) -> Optional[Dict[str, np.ndarray]]:
+            sensor_range: float = 70.0,
+            n_replay_poses: int = 0) -> Optional[Dict[str, np.ndarray]]:
         """Rebuild a full replay scene from a NON-current trajectory's saved
         depths + occupancy snapshot (get_random_scene_for_scone_model,
         macarons_utils.py:3845-3978): a random window of saved depth maps is
         backprojected into a surface point cloud; the trajectory's proxy
         field snapshot provides the supervision targets.
 
+        When ``n_replay_poses > 0`` the last that many frames are held out of
+        the base surface and returned separately as replay "new cameras"
+        (the n_poses_in_memory_scene_loops depths of memory_scene_loop,
+        train_macarons.py:640-693): per-frame point clouds + camera centers,
+        so the caller can measure each replayed camera's true coverage gain
+        against the base reconstruction and supervise SconeVis with it.
+
         Returns dict(surface (N, 3), proxy_points, proba, supervision_occ,
-        view_states, out_of_field) or None when no eligible trajectory.
+        view_states, out_of_field[, replay_clouds (k, m, 3), replay_valid
+        (k, m), replay_cams (k, 3)]) or None when no eligible trajectory.
         """
         import jax.numpy as jnp
 
@@ -175,7 +184,7 @@ class Memory:
         traj = rng.choice(candidates)
         total = self.n_depths(scene_memory_path, traj)
         picks = rng.sample(range(total), n_frames)
-        clouds = []
+        clouds, valids, cams = [], [], []
         d_dir = self.trajectory_dir(scene_memory_path, traj, "depths")
         for i in picks:
             with np.load(os.path.join(d_dir, f"{i}.npz")) as z:
@@ -192,12 +201,29 @@ class Memory:
                 continue
             keep = rng.sample(range(len(idx)),
                               min(points_per_frame, len(idx)))
-            clouds.append(flat_w[idx[keep]])
-        if not clouds:
+            cloud = np.zeros((points_per_frame, 3), np.float32)
+            cloud[: len(keep)] = flat_w[idx[keep]]
+            valid = np.zeros((points_per_frame,), bool)
+            valid[: len(keep)] = True
+            clouds.append(cloud)
+            valids.append(valid)
+            # Camera center: eye = -T @ R^T (T = -eye @ R, cameras.py).
+            cams.append((-np.asarray(T).reshape(3) @ np.asarray(R)
+                         .reshape(3, 3).T).astype(np.float32))
+        if len(clouds) <= n_replay_poses:
             return None
         occ = self.load_occupancy(scene_memory_path, traj)
-        occ["surface"] = np.concatenate(clouds, axis=0)
+        n_base = len(clouds) - n_replay_poses
+        base = np.concatenate(
+            [c[v] for c, v in zip(clouds[:n_base], valids[:n_base])], axis=0)
+        occ["surface"] = base
         occ["proxy_points"] = occ.pop("points")
+        if n_replay_poses > 0:
+            occ["base_clouds"] = np.stack(clouds[:n_base])
+            occ["base_valid"] = np.stack(valids[:n_base])
+            occ["replay_clouds"] = np.stack(clouds[n_base:])
+            occ["replay_valid"] = np.stack(valids[n_base:])
+            occ["replay_cams"] = np.stack(cams[n_base:])
         return occ
 
     def save_poses(self, scene_memory_path: str,

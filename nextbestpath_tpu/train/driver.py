@@ -109,6 +109,7 @@ def run_training_nbp_scan(
     eval_poses: int = 40,
     max_wall_s: Optional[float] = None,
     interpret: Optional[bool] = None,
+    init_from: Optional[str] = None,
 ) -> TrainState:
     """Reference-scale NBP training on the scan-collection fast path.
 
@@ -130,6 +131,17 @@ def run_training_nbp_scan(
     model = NBP(dtype=jnp.bfloat16)
     state = init_train_state(model, jax.random.PRNGKey(seed),
                              lr=float(p.nbp_lr))
+    if init_from and os.path.exists(init_from):
+        # Warm start: seed the variables (not the optimizer) from a prior
+        # checkpoint. Used after a machine restart wipes the resume state
+        # (latest.ckpt + replay shards) but a committed best-val survives:
+        # the run restarts at epoch 0 (fresh collection + validation split)
+        # with a policy that already explores well.
+        import dataclasses as _dc
+        variables, _, ck_epoch, _ = load_checkpoint(init_from, state.variables)
+        state = _dc.replace(state, variables=variables)
+        if verbose:
+            print(f"warm start from {init_from} (saved at epoch {ck_epoch})")
     collection = ScanCollection(scenes, model, params=p, interpret=interpret)
     evaluator = None
     if eval_scenes:

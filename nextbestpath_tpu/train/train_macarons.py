@@ -22,6 +22,7 @@ through the same loss functions via sim.memory.Memory.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import random as _pyrandom
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -95,17 +96,22 @@ def make_depth_steps(depth_model, depth_tx, intr: CameraIntrinsics,
     min-over-alpha 0.85*SSIM + 0.15*L1 reprojection plus edge-aware
     regularity; photometric jitter (always, jitter_probability=1.0) and
     horizontal-flip symmetry aug (p=0.5, with the matching camera conjugate)
-    mirror depth_model_utils.py:873-919. Delta: the reference's third
-    supervision frame (alpha=+1, the not-yet-captured future frame) is
-    omitted — supervision uses the two past frames the cost volume sees.
+    mirror depth_model_utils.py:873-919. The reference's alphas=[-1,-2,1]
+    (create_batch_for_depth_model, macarons_utils.py:1007-1086) include the
+    future frame in the photometric supervision (not the cost volume): the
+    caller passes it as x_fut and the loss mins over all three warps — the
+    online loop trains one pose behind capture so the +1 frame exists.
     """
     reg_factor = float(p.get("regularity_loss_factor", 0.1))
     jitter_p = float(p.get("jitter_probability", 1.0))
     sym_p = float(p.get("symmetry_probability", 0.5))
 
-    @jax.jit
+    @functools.partial(jax.jit, static_argnames=("n_cv",))
     def depth_step(depth_vars, depth_opt, tgt, R, T, x_alpha, R_alpha,
-                   T_alpha, rng):
+                   T_alpha, rng, n_cv=2):
+        """x_alpha stacks the supervision frames; the first n_cv of them
+        (the past frames) feed the cost volume, all of them are warp
+        targets for the min-over-alpha photometric loss."""
         k_j, k_f = jax.random.split(rng)
         all_imgs = jnp.concatenate([tgt[None], x_alpha], axis=0)
         all_imgs = color_jitter(
@@ -126,8 +132,9 @@ def make_depth_steps(depth_model, depth_tx, intr: CameraIntrinsics,
         R2, Ra2, T2, Ta2 = Rs[0], Rs[1:], Ts[0], Ts[1:]
 
         def loss_fn(dv):
-            disp1, *_ = depth_model.apply(dv, tgt2[None], R2[None], T2[None],
-                                          xa2[None], Ra2[None], Ta2[None])
+            disp1, *_ = depth_model.apply(
+                dv, tgt2[None], R2[None], T2[None], xa2[None, :n_cv],
+                Ra2[None, :n_cv], Ta2[None, :n_cv])
             depth = disparity_to_depth(disp1[0, ..., 0])
             photo = photometric_loss(tgt2, depth, R2, T2, xa2, Ra2, Ta2,
                                      intr)
@@ -174,11 +181,12 @@ def train_macarons_online(
 
     When a sim.memory.Memory (+ scene_memory_path) is given, the loop
     persists per-pose frames/depths into the current trajectory slot, runs
-    `memory_replay_loops` occupancy-replay steps per pose on scenes
+    `memory_replay_loops` scone-replay steps per pose on scenes
     reconstructed from OTHER trajectories' saved depths
     (memory_scene_loop, train_macarons.py:609-812 — occupancy supervision
-    from the stored proxy snapshot; visibility replay is not reproduced),
-    and snapshots the occupancy field + surface + poses at the end.
+    from the stored proxy snapshot + coverage-gain supervision from the
+    held-out replayed cameras' measured gains), and snapshots the occupancy
+    field + surface + poses at the end.
     """
     p = params or default_params()
     key = jax.random.PRNGKey(seed)
@@ -219,6 +227,11 @@ def train_macarons_online(
         262144, sx_min, sx_max,
         float(p.get("surface_resolution", 0.05)) * float(p.scene_scale_factor),
     )
+    # Fresh (empty) store consumed by scone_replay_step's measured-gain
+    # replay; created here because SurfaceStore.create is not traceable.
+    replay_store_template = SurfaceStore.create(
+        65536, sx_min, sx_max,
+        float(p.get("surface_resolution", 0.05)) * float(p.scene_scale_factor))
     pc = PointBuffer.create(int(p.full_pc_capacity))
     traj = TrajectoryBuffer.create(8 * (n_poses + 4))
 
@@ -292,10 +305,65 @@ def train_macarons_online(
         ou, occ_opt = state.occ_tx.update(grads, occ_opt)
         return optax.apply_updates(occ_vars, ou), occ_opt, loss
 
-    def run_memory_replay(rng_py):
+    @jax.jit
+    def scone_replay_step(occ_vars, vis_vars, occ_opt, vis_opt, pc_tokens,
+                          proxy_pts, proxy_vh, sup_occ, base_clouds,
+                          base_valid, replay_clouds, replay_valid,
+                          replay_cams, rng):
+        """Occupancy + coverage-gain supervision on a memory-replayed scene
+        (memory_scene_loop, train_macarons.py:609-812): the replayed
+        cameras' measured coverage gains (:737-744) supervise SconeVis with
+        the same uncentered-L1 the online step uses (:526-545).
+
+        Measured gains replay the online semantics exactly: the base frames
+        are pushed through camera_coverage_gain + fill in order (building
+        the covered state the trajectory had), then each held-out camera is
+        measured against it before its own cloud is filled.
+        """
+        store = replay_store_template
+
+        def seen(store, inp):
+            cloud, valid = inp
+            _, store = camera_coverage_gain(store, cloud, valid, eps_cov)
+            return store.fill(cloud, valid), None
+
+        store, _ = jax.lax.scan(seen, store, (base_clouds, base_valid))
+
+        def measure(store, inp):
+            cloud, valid = inp
+            gain, store = camera_coverage_gain(store, cloud, valid, eps_cov)
+            gain = gain / jnp.maximum(jnp.sum(valid), 1)
+            return store.fill(cloud, valid), gain
+
+        _, measured = jax.lax.scan(measure, store,
+                                   (replay_clouds, replay_valid))
+
+        def loss_fn(ov, vv):
+            occ_pred = occ_model.apply(ov, norm(pc_tokens)[None],
+                                       norm(proxy_pts)[None], proxy_vh,
+                                       key=rng)
+            occ_loss = jnp.mean((occ_pred[0] - sup_occ) ** 2)
+            tokens4 = jnp.concatenate([norm(proxy_pts), occ_pred[0]],
+                                      axis=-1)[None]
+            h = vis_model.apply(vv, tokens4, view_harmonics=proxy_vh)
+            pred_gain = coverage_gain(tokens4[..., :3], h,
+                                      norm(replay_cams)[None])
+            cov_loss = uncentered_l1(pred_gain[..., None],
+                                     measured[None, :, None])
+            return occ_loss + cov_loss, (occ_loss, cov_loss)
+
+        (_, (ol, cl)), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(occ_vars, vis_vars)
+        ou, occ_opt = state.occ_tx.update(grads[0], occ_opt)
+        vu, vis_opt = state.vis_tx.update(grads[1], vis_opt)
+        return (optax.apply_updates(occ_vars, ou),
+                optax.apply_updates(vis_vars, vu), occ_opt, vis_opt, ol, cl)
+
+    def run_memory_replay(rng_py, n_replay_poses: int = 2):
         scene = memory.get_random_scene_for_scone_model(
             scene_memory_path, intr, rng=rng_py,
-            sensor_range=float(p.sensor_range))
+            sensor_range=float(p.sensor_range),
+            n_replay_poses=n_replay_poses)
         if scene is None:
             return None
         pr = np.random.default_rng(rng_py.randrange(2**31))
@@ -304,6 +372,21 @@ def train_macarons_online(
         vh_r = compute_view_harmonics(
             jnp.asarray(scene["view_states"][pi])[None], base_h, h_polar,
             n_elev_vs, n_azim_vs)
+        if "replay_cams" in scene:
+            (state.model.occ_vars, state.model.vis_vars, state.occ_opt_state,
+             state.vis_opt_state, ol, cl) = scone_replay_step(
+                state.model.occ_vars, state.model.vis_vars,
+                state.occ_opt_state, state.vis_opt_state,
+                jnp.asarray(scene["surface"][si]),
+                jnp.asarray(scene["proxy_points"][pi]), vh_r,
+                jnp.asarray(scene["supervision_occ"][pi]),
+                jnp.asarray(scene["base_clouds"]),
+                jnp.asarray(scene["base_valid"]),
+                jnp.asarray(scene["replay_clouds"]),
+                jnp.asarray(scene["replay_valid"]),
+                jnp.asarray(scene["replay_cams"]), next_key())
+            logs["replay_cov_loss"].append(float(cl))
+            return float(ol)
         (state.model.occ_vars, state.occ_opt_state, loss) = occ_replay_step(
             state.model.occ_vars, state.occ_opt_state,
             jnp.asarray(scene["surface"][si]),
@@ -315,7 +398,7 @@ def train_macarons_online(
     frame_nb = 0
 
     logs = {"coverage": [], "occ_loss": [], "cov_loss": [], "gain": [],
-            "depth_loss": [], "replay_occ_loss": []}
+            "depth_loss": [], "replay_occ_loss": [], "replay_cov_loss": []}
     eps_cov = 2.0 * 0.05 * float(p.scene_scale_factor) * float(
         p.surface_epsilon_factor)
     curriculum_dists = curriculum_sampling_distances(
@@ -336,21 +419,29 @@ def train_macarons_online(
                                            tri_colors=tri_colors,
                                            ambient=ambient)
             frame_hist.append((rgb, R, T))
-            if len(frame_hist) > 3:
+            if len(frame_hist) > 4:
                 frame_hist.pop(0)
         else:
             zbuf, R, T = capture_depth(tri_soa, n_tris, cur_pose, intr)
 
         have_context = need_rgb and len(frame_hist) >= 3
-        if learn_depth and have_context:
-            # Online self-supervised depth step on the (current, -1, -2)
-            # frame triplet (train_macarons.py:389-403).
-            x_alpha = jnp.stack([frame_hist[-2][0], frame_hist[-3][0]])
-            R_a = jnp.stack([frame_hist[-2][1], frame_hist[-3][1]])
-            T_a = jnp.stack([frame_hist[-2][2], frame_hist[-3][2]])
+        if learn_depth and len(frame_hist) >= 4:
+            # Online self-supervised depth step, one pose behind capture:
+            # target = previous frame, alphas = [-1, -2, +1] relative to it
+            # (params.alphas, create_batch_for_depth_model,
+            # macarons_utils.py:1007-1086; train step train_macarons.py
+            # :389-403). The +1 frame (just captured) joins the photometric
+            # warps; the cost volume sees only the two past frames.
+            x_alpha = jnp.stack([frame_hist[-3][0], frame_hist[-4][0],
+                                 frame_hist[-1][0]])
+            R_a = jnp.stack([frame_hist[-3][1], frame_hist[-4][1],
+                             frame_hist[-1][1]])
+            T_a = jnp.stack([frame_hist[-3][2], frame_hist[-4][2],
+                             frame_hist[-1][2]])
             (state.model.depth_vars, state.depth_opt_state, photo,
              reg) = depth_step(state.model.depth_vars,
-                               state.depth_opt_state, rgb, R, T,
+                               state.depth_opt_state, frame_hist[-2][0],
+                               frame_hist[-2][1], frame_hist[-2][2],
                                x_alpha, R_a, T_a, next_key())
             logs["depth_loss"].append(float(photo))
         if not use_perfect_depth and have_context:

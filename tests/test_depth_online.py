@@ -145,6 +145,21 @@ def test_memory_scone_replay_reconstruction(tmp_path):
     assert scene["supervision_occ"].shape == (P, 1)
     assert scene["view_states"].shape == (P, 98)
 
+    # Coverage-gain replay tier: the last n_replay_poses frames are held out
+    # of the base surface and served as replay cameras (memory_scene_loop's
+    # new-depth supervision window, train_macarons.py:640-744).
+    scene = mem.get_random_scene_for_scone_model(
+        str(tmp_path), intr, n_frames=4, points_per_frame=128,
+        n_replay_poses=2)
+    assert scene["replay_clouds"].shape == (2, 128, 3)
+    assert scene["replay_valid"].shape == (2, 128)
+    assert scene["replay_cams"].shape == (2, 3)
+    assert scene["base_clouds"].shape == (2, 128, 3)
+    # Base surface excludes the held-out frames' points.
+    assert len(scene["surface"]) == scene["base_valid"].sum()
+    # Identity R, zero T -> camera center at the origin.
+    np.testing.assert_allclose(scene["replay_cams"], 0.0, atol=1e-6)
+
     # Current trajectory (0) must never be served: only traj 1 qualifies and
     # switching current_epoch to 1 makes it the current one -> None.
     mem.current_epoch = 1
@@ -169,6 +184,17 @@ def test_online_depth_training_and_predicted_backprojection(tmp_path):
     state = MacaronsTrainState.create(
         jax.random.PRNGKey(0), params=params, depth_lr=1e-4)
     mem = Memory([str(tmp_path)], n_trajectories=2, current_epoch=0)
+    # Pre-populate trajectory 1 (non-current) so the scone replay steps run
+    # (occupancy + coverage-gain supervision from replayed cameras).
+    rng = np.random.default_rng(7)
+    for i in range(8):
+        d = rng.uniform(2.0, 30.0, (32, 56)).astype(np.float32)
+        mem.save_depth(str(tmp_path), 1, i, d, np.eye(3, dtype=np.float32),
+                       np.zeros(3, np.float32))
+    P = 128
+    mem.save_occupancy(str(tmp_path), 1, rng.uniform(0, 40, size=(P, 3)),
+                       rng.uniform(size=(P, 1)), rng.uniform(size=(P, 1)),
+                       rng.uniform(size=(P, 98)), np.ones((P, 1)))
     logs = train_macarons_online(
         assets, state, params=params, n_poses=5, seed=3,
         n_tokens=128, n_proxy_tokens=128,
@@ -182,3 +208,7 @@ def test_online_depth_training_and_predicted_backprojection(tmp_path):
     # Frames + depths persisted into the current trajectory slot.
     assert mem.n_frames(str(tmp_path), 0) == 5
     assert mem.n_depths(str(tmp_path), 0) == 5
+    # Replay ran with the coverage-gain tier active.
+    assert len(logs["replay_occ_loss"]) >= 1
+    assert len(logs["replay_cov_loss"]) >= 1
+    assert all(np.isfinite(v) for v in logs["replay_cov_loss"])

@@ -60,6 +60,9 @@ def main():
     ap.add_argument("--max-wall", type=float, default=None,
                     help="stop after this many seconds (at an epoch "
                          "boundary); resume later with --resume")
+    ap.add_argument("--init-weights", default=None,
+                    help="warm-start variables from this checkpoint when "
+                         "not resuming (fresh epoch 0, pretrained policy)")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -110,6 +113,7 @@ def main():
             n_poses=poses, db_dir=args.db_dir, seed=args.seed,
             resume=args.resume, eval_every=args.eval_every,
             eval_poses=args.eval_poses, max_wall_s=args.max_wall,
+            init_from=args.init_weights,
         )
     else:
         run_training_nbp(scenes, params=params, epochs=epochs, n_poses=poses,
