@@ -64,6 +64,7 @@ def backproject_sample(
     sensor_range: float = 70.0,
     znear_clamp: float = 0.5,
     zfar_clamp: float = 750.0,
+    stratified: bool = False,
 ) -> FramePoints:
     """Random fraction of valid depth pixels unprojected to world points.
 
@@ -71,7 +72,9 @@ def backproject_sample(
     valid = mask & (depth < sensor_range); keep
     n = int(gathering_factor * n_valid) random pixels without replacement.
     Depth is clamped to [znear, zfar] first like obtain_depth
-    (long_term_utils.py:107).
+    (long_term_utils.py:107). stratified=True swaps the full-image top_k
+    for a two-stage stratified draw (see inline note) — same density,
+    cheaper on TPU.
     """
     H, W = zbuf.shape
     n_px = H * W
@@ -83,10 +86,37 @@ def backproject_sample(
         (gathering_factor * n_valid).astype(jnp.int32), n_slots
     )
 
-    scores = jax.random.uniform(key, (n_px,))
-    scores = jnp.where(valid, scores, 2.0)
-    idx = jax.lax.top_k(-scores, n_slots)[1]  # n_slots smallest scores
-    slot_valid = (jnp.arange(n_slots) < n_keep) & valid[idx]
+    group = -(-n_px // n_slots)  # pixels per stratum (ceil)
+    if stratified and gathering_factor * group <= 1.0:
+        # Two-stage stratified draw instead of a full top_k over H*W
+        # scores: stage 1 picks one random valid pixel per stratum of
+        # `group` consecutive pixels (an O(n) masked argmin); stage 2
+        # randomly ranks the strata (argsort over n_slots only) so the
+        # n_keep cut carries no spatial bias. Exact n_keep count is
+        # guaranteed because gathering_factor*group <= 1 bounds n_keep by
+        # the number of non-empty strata. Sampling-statistics delta vs the
+        # reference's iid draw (compute_partial_point_cloud's random
+        # gather): at most one point per stratum, i.e. a spatially more
+        # even subsample at the same density.
+        k1, k2 = jax.random.split(key)
+        pad = n_slots * group - n_px
+        scores = jax.random.uniform(k1, (n_px,))
+        scores = jnp.where(valid, scores, 2.0)
+        scores = jnp.pad(scores, (0, pad), constant_values=2.0)
+        scores = scores.reshape(n_slots, group)
+        win = jnp.argmin(scores, axis=1)
+        win_score = jnp.min(scores, axis=1)
+        idx0 = jnp.arange(n_slots) * group + win
+        group_valid = win_score < 1.5
+        rank = jnp.where(group_valid, jax.random.uniform(k2, (n_slots,)), 2.0)
+        order = jnp.argsort(rank)
+        idx = jnp.minimum(idx0[order], n_px - 1)
+        slot_valid = (jnp.arange(n_slots) < n_keep) & group_valid[order]
+    else:
+        scores = jax.random.uniform(key, (n_px,))
+        scores = jnp.where(valid, scores, 2.0)
+        idx = jax.lax.top_k(-scores, n_slots)[1]  # n_slots smallest scores
+        slot_valid = (jnp.arange(n_slots) < n_keep) & valid[idx]
 
     # Unproject only the selected pixels: world = eye + depth * (d_view @ R^T)
     d_view = intr.pixel_ray_dirs_view().reshape(-1, 3)[idx]

@@ -152,3 +152,42 @@ def test_curriculum_schedules():
     n = curriculum_sampling_cell_number(100)
     assert n[0] == 5 and n[-1] == 20
     assert n.dtype.kind == "i"
+
+
+def test_backproject_sample_stratified_matches_topk_semantics():
+    """The stratified two-stage pixel draw keeps the top_k path's contract:
+    exactly n_keep = int(gf * n_valid) valid slots, every selected point is
+    the unprojection of a distinct valid pixel."""
+    from nextbestpath_tpu.geometry.cameras import camera_center
+    from nextbestpath_tpu.sim.sensor import backproject_sample
+
+    intr = CameraIntrinsics(image_height=16, image_width=24)
+    rng = np.random.default_rng(0)
+    zbuf = rng.uniform(2.0, 30.0, (16, 24)).astype(np.float32)
+    zbuf[rng.uniform(size=(16, 24)) < 0.3] = -1.0  # background
+    zbuf = jnp.asarray(zbuf)
+    R = jnp.eye(3)
+    T = jnp.zeros(3)
+    n_valid = int(np.sum(np.asarray(zbuf) > -1.0))
+    gf, n_slots = 0.25, 128  # group=3 -> gf*group <= 1 (stratified active)
+
+    outs = {}
+    for strat in (False, True):
+        b = backproject_sample(zbuf, R, T, intr, jax.random.PRNGKey(1),
+                               n_slots, gathering_factor=gf,
+                               sensor_range=70.0, stratified=strat)
+        outs[strat] = b
+        assert int(jnp.sum(b.valid)) == int(gf * n_valid)
+
+    # Every selected point must be the unprojection of some valid pixel.
+    from nextbestpath_tpu.geometry.cameras import unproject_depth
+
+    depth = jnp.clip(zbuf, 0.5, 750.0)
+    world = np.asarray(unproject_depth(depth, R, T, intr)).reshape(-1, 3)
+    valid_world = world[np.asarray(zbuf).reshape(-1) > -1.0]
+    for strat in (False, True):
+        pts = np.asarray(outs[strat].points)[np.asarray(outs[strat].valid)]
+        d = np.linalg.norm(pts[:, None] - valid_world[None], axis=-1).min(1)
+        assert d.max() < 1e-4
+        # Distinct pixels: no duplicated selections.
+        assert len(np.unique(pts.round(5), axis=0)) == len(pts)

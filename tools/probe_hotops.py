@@ -98,6 +98,19 @@ def main():
         t = bench(f2, scores, iters=args.iters)
         print(f"argsort variant   : {t * 1e3:8.2f} ms", flush=True)
 
+        from nextbestpath_tpu.geometry.cameras import CameraIntrinsics
+        from nextbestpath_tpu.sim.sensor import backproject_sample
+
+        intr = CameraIntrinsics(image_height=256, image_width=456)
+        zbuf = jax.random.uniform(key, (256, 456), minval=2.0, maxval=60.0)
+        R, T = jnp.eye(3), jnp.zeros(3)
+        for strat in (False, True):
+            f3 = jax.jit(lambda z, k: backproject_sample(
+                z, R, T, intr, k, n_slots, stratified=strat).points)
+            t = bench(f3, zbuf, key, iters=args.iters)
+            name = "strat" if strat else "topk "
+            print(f"backproject {name}  : {t * 1e3:8.2f} ms", flush=True)
+
     if "bfs" in ops:
         from nextbestpath_tpu.planning.grid_paths import (bfs_distance_field,
                                                           extract_path)

@@ -63,6 +63,10 @@ def main():
     ap.add_argument("--init-weights", default=None,
                     help="warm-start variables from this checkpoint when "
                          "not resuming (fresh epoch 0, pretrained policy)")
+    ap.add_argument("--tag", default="nbp",
+                    help="model tag for checkpoint/log names (per-level "
+                         "fine-tunes: nbp_simple -> nbp_simple_best_val.ckpt, "
+                         "the AiMDoom_<level>_best_val.pth analog)")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -113,7 +117,7 @@ def main():
             n_poses=poses, db_dir=args.db_dir, seed=args.seed,
             resume=args.resume, eval_every=args.eval_every,
             eval_poses=args.eval_poses, max_wall_s=args.max_wall,
-            init_from=args.init_weights,
+            init_from=args.init_weights, model_tag=args.tag,
         )
     else:
         run_training_nbp(scenes, params=params, epochs=epochs, n_poses=poses,
