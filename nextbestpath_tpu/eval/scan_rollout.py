@@ -128,8 +128,6 @@ class PrePlan(NamedTuple):
 
     cov: jnp.ndarray
     pc: PointBuffer
-    model_input: jnp.ndarray
-    traj_img: jnp.ndarray
     cur_pose5: jnp.ndarray
     regen: jnp.ndarray
     edge_memo: jnp.ndarray
@@ -246,11 +244,23 @@ class ScanRollout:
 
     # -- planning branch ----------------------------------------------------
 
-    def _plan(self, scene: SceneArrays, variables, model_input,
-              pc: PointBuffer, traj_img, cur_pose5, cur, edge_memo, banned,
-              visited_rot, key):
+    def _plan(self, scene: SceneArrays, variables, pc: PointBuffer, traj,
+              cur_pose5, cur, edge_memo, banned, visited_rot, key):
         p = self.p
         L, H, A = self.L, self.H, self.A
+        # The 5-channel model input is consumed only here, so it is built
+        # inside the plan branch: non-regen poses (the majority) skip the
+        # scatter entirely (the lax.cond guarantees the untaken branch does
+        # not execute; values built in _pre would be computed every pose).
+        if "model_input" in self.ablate:
+            S = int(p.pc2img_size[0])
+            model_input = jnp.zeros((1, S, S, int(p.n_pieces) + 1))
+            traj_img = jnp.zeros((S, S))
+        else:
+            model_input, traj_img = build_model_input(
+                pc, traj, cur_pose5[:3], scene.y_bins,
+                n_pieces=int(p.n_pieces), img_size=int(p.pc2img_size[0]),
+            )
         value_map, obstacle_map = self.model.apply(variables, model_input,
                                                    train=False)
         layout, proj256 = fuse_layout(obstacle_map[0, :, :, 0], pc, traj_img,
@@ -344,16 +354,6 @@ class ScanRollout:
             gathering_factor=float(p.gathering_factor),
             sensor_range=float(p.sensor_range), interpret=self.interpret,
         )
-        if "model_input" in ablate:
-            S = int(p.pc2img_size[0])
-            model_input = jnp.zeros((1, S, S, int(p.n_pieces) + 1))
-            traj_img = jnp.zeros((S, S))
-        else:
-            model_input, traj_img = build_model_input(
-                pc, state.traj, cur_pose5[:3], scene.y_bins,
-                n_pieces=int(p.n_pieces), img_size=int(p.pc2img_size[0]),
-            )
-
         # Regen condition + collision memo (nbp_planning.py:134-160).
         path_exhausted = state.path_record >= state.path_len
         nxt_candidate = state.path[
@@ -386,8 +386,7 @@ class ScanRollout:
                        EDGE_PASSABLE),
             edge_memo,
         )
-        return PrePlan(cov=cov, pc=pc, model_input=model_input,
-                       traj_img=traj_img, cur_pose5=cur_pose5, regen=regen,
+        return PrePlan(cov=cov, pc=pc, cur_pose5=cur_pose5, regen=regen,
                        edge_memo=edge_memo, banned=banned, k_rot=k_rot,
                        k_rot2=k_rot2, k_move=k_move, k_plan=k_plan,
                        new_key=key)
@@ -452,8 +451,8 @@ class ScanRollout:
             pre = self._pre(scene, state, pose_i)
 
             def do_plan(memo, bann):
-                return self._plan(scene, variables, pre.model_input, pre.pc,
-                                  pre.traj_img, pre.cur_pose5, state.cur,
+                return self._plan(scene, variables, pre.pc, state.traj,
+                                  pre.cur_pose5, state.cur,
                                   memo, bann, state.visited_rot, pre.k_plan)
 
             def keep_plan(memo, bann):
@@ -485,8 +484,8 @@ class ScanRollout:
             def do_plans(memo_b, bann_b):
                 def one(scene, pre, st, memo, bann):
                     m2, b2, p2, l2 = self._plan(
-                        scene, variables, pre.model_input, pre.pc,
-                        pre.traj_img, pre.cur_pose5, st.cur, memo, bann,
+                        scene, variables, pre.pc, st.traj,
+                        pre.cur_pose5, st.cur, memo, bann,
                         st.visited_rot, pre.k_plan)
                     sel = pre.regen
                     return (
