@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--batch", type=int, default=1,
                     help="number of scenes rolled out in parallel (vmap)")
     ap.add_argument("--seed", type=int, default=8)
+    ap.add_argument("--stratified", action="store_true",
+                    help="stratified pixel sampling in backprojection "
+                         "(params.stratified_sampling)")
     args = ap.parse_args()
 
     import jax
@@ -56,6 +59,8 @@ def main():
     else:
         params = default_params()
         poses = args.poses
+    if args.stratified:
+        params.update(stratified_sampling=True)
 
     all_assets = [
         pack_generated_scene(generate_scene(args.difficulty,

@@ -210,6 +210,10 @@ class ScanRollout:
         )
         self.interpret = interpret
         self.max_plan_retries = max_plan_retries
+        # Two-stage stratified pixel draw instead of the full-frame top_k
+        # in every backprojection (sim/sensor.py) — same n_keep contract,
+        # cheaper sort footprint on TPU.
+        self.stratified = bool(p.get("stratified_sampling", False))
 
         self.scene, self.tables = scene_arrays_from_assets(
             assets, n_pieces=int(p.n_pieces), interpret=interpret)
@@ -231,6 +235,7 @@ class ScanRollout:
             int(p.n_pieces), int(p.points_per_frame),
             float(p.gathering_factor), float(p.sensor_range),
             int(p.n_interpolation_steps), int(p.max_path_len),
+            self.stratified,
         )
 
     # -- pose helpers -------------------------------------------------------
@@ -353,6 +358,7 @@ class ScanRollout:
             self.intr, n_slots=int(p.points_per_frame),
             gathering_factor=float(p.gathering_factor),
             sensor_range=float(p.sensor_range), interpret=self.interpret,
+            stratified=self.stratified,
         )
         # Regen condition + collision memo (nbp_planning.py:134-160).
         path_exhausted = state.path_record >= state.path_len
@@ -420,6 +426,7 @@ class ScanRollout:
             n_slots=int(p.points_per_frame),
             gathering_factor=float(p.gathering_factor),
             sensor_range=float(p.sensor_range), interpret=self.interpret,
+            stratified=self.stratified,
         )
         visited_rot = state.visited_rot.at[nxt[0], nxt[1], nxt[2]].set(True)
 
@@ -525,6 +532,7 @@ class ScanRollout:
             n_slots=int(p.points_per_frame),
             gathering_factor=float(p.gathering_factor),
             sensor_range=float(p.sensor_range), interpret=self.interpret,
+            stratified=self.stratified,
         )
         visited = jnp.zeros((self.L, self.H, self.A), bool)
         visited = visited.at[cur[0], cur[1], cur[2]].set(True)

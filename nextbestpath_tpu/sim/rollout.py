@@ -72,7 +72,8 @@ def interpolate_pose(old_pose5: jnp.ndarray, new_pose5: jnp.ndarray,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("intr", "n_steps", "n_azim", "n_slots", "interpret"),
+    static_argnames=("intr", "n_steps", "n_azim", "n_slots", "interpret",
+                     "stratified"),
 )
 def move_and_capture(
     tri_soa: jnp.ndarray,
@@ -89,6 +90,7 @@ def move_and_capture(
     gathering_factor: float = 0.05,
     sensor_range: float = 70.0,
     interpret: Optional[bool] = None,
+    stratified: bool = False,
 ) -> Tuple[PointBuffer, TrajectoryBuffer, jnp.ndarray]:
     """Execute one lattice move: n_steps interpolation frames, each rendered,
     backprojected, subsampled, and appended. Returns (pc, traj, last_zbuf).
@@ -106,6 +108,7 @@ def move_and_capture(
         batch = backproject_sample(
             zbuf, R, T, intr, sub, n_slots,
             gathering_factor=gathering_factor, sensor_range=sensor_range,
+            stratified=stratified,
         )
         return (pc_c.append(batch), traj_c.append(pose[:3])), zbuf
 
@@ -114,7 +117,8 @@ def move_and_capture(
     return pc, traj, zbufs[-1]
 
 
-@functools.partial(jax.jit, static_argnames=("intr", "n_slots", "interpret"))
+@functools.partial(jax.jit, static_argnames=("intr", "n_slots", "interpret",
+                                              "stratified"))
 def observe_current(
     tri_soa: jnp.ndarray,
     n_tris: jnp.ndarray,
@@ -126,6 +130,7 @@ def observe_current(
     gathering_factor: float = 0.05,
     sensor_range: float = 70.0,
     interpret: Optional[bool] = None,
+    stratified: bool = False,
 ) -> PointBuffer:
     """The loop-start frame re-processing (nbp_planning.py:64-110): the
     current pose's frame is rendered and its points appended (a second,
@@ -134,5 +139,6 @@ def observe_current(
     batch = backproject_sample(
         zbuf, R, T, intr, key, n_slots,
         gathering_factor=gathering_factor, sensor_range=sensor_range,
+        stratified=stratified,
     )
     return pc.append(batch)
