@@ -29,7 +29,10 @@ def main():
                     help="rollout seeds per scene (AUCs are averaged)")
     ap.add_argument("--weights", default="weights/nbp/nbp_best_val.ckpt")
     ap.add_argument("--out", default="data/eval_vs_random_r2.json")
+    ap.add_argument("--difficulties", default=",".join(DIFFS),
+                    help="comma list (per-level fine-tune evals)")
     args = ap.parse_args()
+    diffs = tuple(d.strip() for d in args.difficulties.split(",") if d.strip())
 
     import jax
     import jax.numpy as jnp
@@ -47,6 +50,8 @@ def main():
     # (train_nbp.py: parse_procgen(base=8) + 500).
     assets = []
     for i, diff in enumerate(DIFFS):
+        if diff not in diffs:
+            continue
         for j in range(args.scenes_per_diff):
             assets.append(pack_generated_scene(
                 generate_scene(diff, seed=8 + i * 37 + j + 500),
@@ -81,7 +86,7 @@ def main():
     import numpy as np
 
     table = {}
-    for diff in DIFFS:
+    for diff in diffs:
         names = [a.name for a in assets if f"_{diff}_" in a.name]
         nbp = float(np.mean([np.mean(results[n]["nbp_auc"]) for n in names]))
         rw = float(np.mean([np.mean(results[n]["rw_auc"]) for n in names]))
@@ -102,7 +107,7 @@ def main():
 
     print(f"\n| difficulty | NBP AUC | random AUC | NBP final | rw final | NBP wins |")
     print("|---|---|---|---|---|---|")
-    for diff in DIFFS:
+    for diff in diffs:
         t = table[diff]
         print(f"| {diff} | {t['nbp_auc']} | {t['rw_auc']} | "
               f"{t['nbp_final']} | {t['rw_final']} | "
