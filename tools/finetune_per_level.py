@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Per-level NBP fine-tuning in ONE process.
+
+The reference ships one weight file per AiMDoom difficulty
+(weights/nbp/AiMDoom_<level>_best_val.pth, README.md:73-80); the round-2 main
+run trains one policy across all four levels. This tool warm-starts a
+per-level fine-tune from that shared policy for each requested level and
+saves nbp_<level>_best_val.ckpt — all inside one process so the jitted
+collection/eval programs (scene arrays are runtime args) compile ONCE: every
+level's scenes are padded to one common shape set up front.
+
+Run on the TPU: python tools/finetune_per_level.py --epochs 6
+"""
+
+import argparse
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+DIFFS = ("simple", "normal", "hard", "insane")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--levels", default=",".join(DIFFS))
+    ap.add_argument("--epochs", type=int, default=6)
+    ap.add_argument("--poses", type=int, default=100)
+    ap.add_argument("--scenes-per-level", type=int, default=2)
+    ap.add_argument("--init", default="weights/nbp/nbp_best_val.ckpt")
+    ap.add_argument("--eval-every", type=int, default=3)
+    ap.add_argument("--max-wall", type=float, default=None,
+                    help="per-level wall budget (seconds)")
+    args = ap.parse_args()
+    levels = [l.strip() for l in args.levels.split(",") if l.strip()]
+
+    from nextbestpath_tpu.assets import generate_scene, pack_generated_scene
+    from nextbestpath_tpu.assets.scene_assets import pad_assets_to_common
+    from nextbestpath_tpu.config import default_params
+    from nextbestpath_tpu.train.driver import run_training_nbp_scan
+
+    params = default_params()
+    # Same seed scheme as train_nbp.py parse_procgen(base=8): training seeds
+    # 8 + i*37 + j, held-out eval seeds +500.
+    train_sets, eval_sets = {}, {}
+    everything = []
+    for i, diff in enumerate(DIFFS):
+        if diff not in levels:
+            continue
+        tr = [pack_generated_scene(generate_scene(diff, seed=8 + i * 37 + j),
+                                   params=params)
+              for j in range(args.scenes_per_level)]
+        ev = [pack_generated_scene(generate_scene(diff, seed=8 + i * 37 + 500),
+                                   params=params)]
+        train_sets[diff], eval_sets[diff] = tr, ev
+        everything.extend(tr + ev)
+    # One global pad -> one compiled collection program + one eval program
+    # for every level (module-level program caches key on shapes).
+    everything = pad_assets_to_common(everything)
+    it = iter(everything)
+    for diff in levels:
+        train_sets[diff] = [next(it) for _ in train_sets[diff]]
+        eval_sets[diff] = [next(it) for _ in eval_sets[diff]]
+
+    for diff in levels:
+        print(f"=== fine-tune {diff} ===", flush=True)
+        run_training_nbp_scan(
+            train_sets[diff], eval_scenes=eval_sets[diff], params=params,
+            epochs=args.epochs, n_poses=args.poses,
+            db_dir=f"nbp_data/db_ft_{diff}", model_tag=f"nbp_{diff}",
+            seed=8, resume=False, eval_every=args.eval_every,
+            eval_poses=40, max_wall_s=args.max_wall, init_from=args.init,
+        )
+
+
+if __name__ == "__main__":
+    main()
