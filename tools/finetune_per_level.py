@@ -59,11 +59,12 @@ def main():
     # for every level (module-level program caches key on shapes).
     everything = pad_assets_to_common(everything)
     it = iter(everything)
-    for diff in levels:
+    ordered = [d for d in DIFFS if d in levels]  # the build order above
+    for diff in ordered:
         train_sets[diff] = [next(it) for _ in train_sets[diff]]
         eval_sets[diff] = [next(it) for _ in eval_sets[diff]]
 
-    for diff in levels:
+    for diff in ordered:
         print(f"=== fine-tune {diff} ===", flush=True)
         run_training_nbp_scan(
             train_sets[diff], eval_scenes=eval_sets[diff], params=params,
