@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--eval-every", type=int, default=3)
     ap.add_argument("--max-wall", type=float, default=None,
                     help="per-level wall budget (seconds)")
+    ap.add_argument("--eval-scenes-per-level", type=int, default=2)
+    ap.add_argument("--eval-seeds", type=int, default=2)
+    ap.add_argument("--out", default="data/eval_vs_random_ft.json")
     args = ap.parse_args()
     levels = [l.strip() for l in args.levels.split(",") if l.strip()]
 
@@ -51,8 +54,11 @@ def main():
         tr = [pack_generated_scene(generate_scene(diff, seed=8 + i * 37 + j),
                                    params=params)
               for j in range(args.scenes_per_level)]
-        ev = [pack_generated_scene(generate_scene(diff, seed=8 + i * 37 + 500),
-                                   params=params)]
+        # Held-out seeds, same scheme as tools/eval_vs_random_r2.py.
+        ev = [pack_generated_scene(
+                  generate_scene(diff, seed=8 + i * 37 + j + 500),
+                  params=params)
+              for j in range(args.eval_scenes_per_level)]
         train_sets[diff], eval_sets[diff] = tr, ev
         everything.extend(tr + ev)
     # One global pad -> one compiled collection program + one eval program
@@ -73,6 +79,59 @@ def main():
             seed=8, resume=False, eval_every=args.eval_every,
             eval_poses=40, max_wall_s=args.max_wall, init_from=args.init,
         )
+
+    # Final per-level table: fine-tuned NBP vs random walk on the held-out
+    # scenes, inside this process (the eval programs are already compiled).
+    import json
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nextbestpath_tpu.eval.random_walk import ScanRandomWalk
+    from nextbestpath_tpu.eval.scan_rollout import BatchedScanRollout
+    from nextbestpath_tpu.models import NBP
+    from nextbestpath_tpu.utils.checkpoint import load_checkpoint
+
+    model = NBP(dtype=jnp.bfloat16)
+    template = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 5)))
+    table = {}
+    for diff in ordered:
+        w = f"weights/nbp/nbp_{diff}_best_val.ckpt"
+        variables, _, ep, _ = load_checkpoint(w, template)
+        nbp_r = BatchedScanRollout(eval_sets[diff], model, variables,
+                                   params=params)
+        rw_r = ScanRandomWalk(eval_sets[diff], params=params)
+        nbp_auc, rw_auc, nbp_f, rw_f = [], [], [], []
+        for s in range(args.eval_seeds):
+            for r in nbp_r.run(n_poses=40, seed=1000 + 97 * s):
+                nbp_auc.append(r.auc)
+                nbp_f.append(r.coverage_evolution[-1])
+            for r in rw_r.run(n_poses=40, seed=1000 + 97 * s):
+                rw_auc.append(r.auc)
+                rw_f.append(r.coverage_evolution[-1])
+        table[diff] = dict(
+            nbp_auc=round(float(np.mean(nbp_auc)), 4),
+            rw_auc=round(float(np.mean(rw_auc)), 4),
+            nbp_final=round(float(np.mean(nbp_f)), 4),
+            rw_final=round(float(np.mean(rw_f)), 4),
+            nbp_wins=bool(np.mean(nbp_auc) > np.mean(rw_auc)),
+            weights_epoch=int(ep),
+        )
+        print(f"{diff}: NBP {table[diff]['nbp_auc']} vs "
+              f"random {table[diff]['rw_auc']} "
+              f"({'WIN' if table[diff]['nbp_wins'] else 'loss'})", flush=True)
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump({"per_difficulty": table}, f, indent=2)
+    print("| difficulty | NBP AUC | random AUC | NBP final | rw final | NBP wins |")
+    print("|---|---|---|---|---|---|")
+    for diff in ordered:
+        t = table[diff]
+        print(f"| {diff} | {t['nbp_auc']} | {t['rw_auc']} | {t['nbp_final']} "
+              f"| {t['rw_final']} | {'YES' if t['nbp_wins'] else 'no'} |")
 
 
 if __name__ == "__main__":
