@@ -247,6 +247,13 @@ def run_training_nbp_scan(
         os.makedirs(log_dir, exist_ok=True)
         with open(log_path, "w") as f:
             json.dump(log, f)
+        # Per-epoch GC: the remote-TPU client frees transferred buffers
+        # lazily; together with the explicit deletes in train_nbp /
+        # ScanCollection.run this keeps host RSS flat across epochs
+        # (a 19-epoch run previously accumulated to a 130 GB host OOM).
+        import gc
+
+        gc.collect()
         if verbose:
             print(f"  epoch wall time {time.time() - t0:.1f}s", flush=True)
         if max_wall_s is not None and time.time() - t_start > max_wall_s:

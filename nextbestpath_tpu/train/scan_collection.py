@@ -350,12 +350,28 @@ class ScanCollection:
     def run(self, scene_idx: int, variables, seed: int = 0,
             n_poses: int = 100) -> CollectOut:
         """One rollout; returns host-side stacked CollectOut arrays."""
+        fold_only = []
         if self._fold_bn:
+            original = {id(l) for l in jax.tree.leaves(variables)}
             variables = fold_bn_variables(variables)
+            # _fold_tree aliases untouched leaves into its output — delete
+            # only the NEW (actually folded) arrays, never the caller's.
+            fold_only = [l for l in jax.tree.leaves(variables)
+                         if id(l) not in original]
         rollout = self._rollout_fn(n_poses)
         state = self.initial_state(scene_idx, seed, n_poses)
-        _, out = rollout(self.scenes[scene_idx], variables, state)
-        return jax.tree.map(np.asarray, out)
+        final, out = rollout(self.scenes[scene_idx], variables, state)
+        host = jax.tree.map(np.asarray, out)
+        # Explicitly free the per-rollout transients (stacked experience
+        # tensors, final sim state, folded weights): the remote-TPU client
+        # retains host mirrors of device buffers until deleted, which leaks
+        # ~1 GB per collection epoch otherwise (host OOM at epoch ~20).
+        for leaf in jax.tree.leaves(out) + jax.tree.leaves(final) + fold_only:
+            try:
+                leaf.delete()
+            except Exception:
+                pass
+        return host
 
 
 def suffix_labels_from_out(out: CollectOut, value_map_size: int,

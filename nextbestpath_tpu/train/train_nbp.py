@@ -336,4 +336,16 @@ def train_nbp(model: NBP, state: TrainState, db: ReplayDB,
         if verbose:
             print(f"  inner epoch {e + 1}: train {tl:.4f} val {vl:.4f} lr {lr:.2e}")
     state = dataclasses.replace(state, lr=lr)
+    # Release the staged epoch slice NOW. Dropping the Python refs is not
+    # enough on the remote-TPU backend: the client keeps host-side mirrors
+    # of transferred buffers until explicit deletion, and ~7 GB/epoch of
+    # staging accumulated to a host OOM at reference scale (epoch ~20).
+    for v in ds.values():
+        try:
+            v.delete()
+        except Exception:
+            pass
+    import gc
+
+    gc.collect()
     return state, float(np.mean(train_losses)), float(np.mean(val_losses))
