@@ -36,9 +36,17 @@ def main():
     ap.add_argument("--batch", type=int, default=1,
                     help="number of scenes rolled out in parallel (vmap)")
     ap.add_argument("--seed", type=int, default=8)
-    ap.add_argument("--stratified", action="store_true",
-                    help="stratified pixel sampling in backprojection "
-                         "(params.stratified_sampling)")
+    # Stratified pixel sampling (one random valid pixel per stratum instead
+    # of the reference's iid random gather) is the default perf path: it
+    # replaces the full-image top_k with an O(n) masked argmin and measures
+    # both faster (39.2 vs 33.7 poses/s, BASELINE.md round 2) and
+    # slightly-higher-coverage at the same point density. Sampling delta vs
+    # compute_partial_point_cloud (macarons_utils.py:2811-2847) is
+    # documented in sim/sensor.py; --no-stratified restores the
+    # reference-faithful iid draw.
+    ap.add_argument("--stratified", action="store_true", default=True)
+    ap.add_argument("--no-stratified", dest="stratified",
+                    action="store_false")
     args = ap.parse_args()
 
     import jax

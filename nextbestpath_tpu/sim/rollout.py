@@ -73,7 +73,7 @@ def interpolate_pose(old_pose5: jnp.ndarray, new_pose5: jnp.ndarray,
 @functools.partial(
     jax.jit,
     static_argnames=("intr", "n_steps", "n_azim", "n_slots", "interpret",
-                     "stratified"),
+                     "stratified", "gathering_factor"),
 )
 def move_and_capture(
     tri_soa: jnp.ndarray,
@@ -118,7 +118,8 @@ def move_and_capture(
 
 
 @functools.partial(jax.jit, static_argnames=("intr", "n_slots", "interpret",
-                                              "stratified"))
+                                              "stratified",
+                                              "gathering_factor"))
 def observe_current(
     tri_soa: jnp.ndarray,
     n_tris: jnp.ndarray,
