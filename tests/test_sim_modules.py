@@ -191,3 +191,44 @@ def test_backproject_sample_stratified_matches_topk_semantics():
         assert d.max() < 1e-4
         # Distinct pixels: no duplicated selections.
         assert len(np.unique(pts.round(5), axis=0)) == len(pts)
+
+
+def test_move_and_capture_stratified_jit():
+    """Regression: move_and_capture/observe_current are jitted with
+    gathering_factor STATIC — passing it (a Python float) alongside
+    stratified=True used to trace it and crash the trace-time branch
+    `gathering_factor * group <= 1.0` in backproject_sample
+    (TracerBoolConversionError, hit by `bench.py --stratified`)."""
+    from nextbestpath_tpu.ops.raytrace import tris_to_soa
+    from nextbestpath_tpu.sim import (
+        PointBuffer,
+        TrajectoryBuffer,
+        move_and_capture,
+        observe_current,
+    )
+
+    # One large wall (two triangles) 5 units in front of the camera.
+    wall = jnp.asarray([
+        [[-50.0, -50.0, 5.0], [50.0, -50.0, 5.0], [50.0, 50.0, 5.0]],
+        [[-50.0, -50.0, 5.0], [50.0, 50.0, 5.0], [-50.0, 50.0, 5.0]],
+    ])
+    soa = tris_to_soa(wall)
+    intr = CameraIntrinsics(image_height=16, image_width=24)
+    pose = jnp.asarray([0.0, 0.0, 0.0, 0.0, 0.0])
+    pc = PointBuffer.create(2048)
+    traj = TrajectoryBuffer.create(16)
+
+    pc, traj, zbuf = move_and_capture(
+        soa, jnp.asarray(2, jnp.int32), pose, pose, pc, traj,
+        jax.random.PRNGKey(0), intr, n_steps=2, n_azim=8, n_slots=256,
+        gathering_factor=0.25, sensor_range=70.0, stratified=True,
+    )
+    pc = observe_current(
+        soa, jnp.asarray(2, jnp.int32), pose, pc, jax.random.PRNGKey(1),
+        intr, n_slots=256, gathering_factor=0.25, sensor_range=70.0,
+        stratified=True,
+    )
+    assert int(pc.count) > 0
+    pts = np.asarray(pc.points)[np.asarray(pc.valid_mask())]
+    # Every stratified-sampled point lies on the wall plane.
+    np.testing.assert_allclose(np.abs(pts[:, 2]), 5.0, atol=1e-3)
