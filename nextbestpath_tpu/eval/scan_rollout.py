@@ -604,7 +604,8 @@ class BatchedScanRollout:
     def __init__(self, assets_list, nbp_model: NBP, nbp_variables,
                  params: Optional[Params] = None,
                  interpret: Optional[bool] = None,
-                 mesh=None, mesh_axis: str = "data"):
+                 mesh=None, mesh_axis: str = "data",
+                 fold_bn: bool = True):
         assert assets_list, "need at least one scene"
         shapes = {(a.pose_l, a.pose_h, a.n_azim) for a in assets_list}
         assert len(shapes) == 1, (
@@ -613,9 +614,16 @@ class BatchedScanRollout:
         f_max = max(a.tris.shape[0] for a in assets_list)
         g_max = max(len(a.gt_surface) for a in assets_list)
 
+        # Fold BatchNorm ONCE here; the per-scene ScanRollouts then share
+        # the single folded weight pytree instead of each folding (and
+        # pinning) its own copy.
+        if fold_bn:
+            nbp_model, nbp_variables = fold_model_and_variables(
+                nbp_model, nbp_variables)
+        self._fold_bn = fold_bn
         self.rollouts = [
             ScanRollout(a, nbp_model, nbp_variables, params=params,
-                        interpret=interpret)
+                        interpret=interpret, fold_bn=False)
             for a in assets_list
         ]
         base = self.rollouts[0]
@@ -654,7 +662,7 @@ class BatchedScanRollout:
         states = [r.initial_state(seed=seed + i, n_poses=n_poses)
                   for i, r in enumerate(self.rollouts)]
         batched = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
-        if variables is not None and self.rollouts[0]._fold_bn:
+        if variables is not None and self._fold_bn:
             variables = fold_bn_variables(variables)
         v = variables if variables is not None else self.rollouts[0].variables
         if self.mesh is not None:

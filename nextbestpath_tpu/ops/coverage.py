@@ -49,9 +49,21 @@ def subsample_buffer(key: jax.Array, count: jnp.ndarray, capacity: int,
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
 def masked_min_dists(gt: jnp.ndarray, pts: jnp.ndarray, pts_valid: jnp.ndarray,
+                     gt_valid: Optional[jnp.ndarray] = None,
                      chunk: int = 8192) -> jnp.ndarray:
-    """Min Euclidean distance from each GT point to the valid pts. (G,)."""
-    center = jnp.mean(gt, axis=0)
+    """Min Euclidean distance from each GT point to the valid pts. (G,).
+
+    The centering mean MUST exclude padded GT rows (gt_valid): batched
+    consumers pad GT clouds with 1e7 sentinel rows, and a sentinel-shifted
+    center blows the d^2 terms up to ~1e8+, where the 3-pass bf16 relative
+    error (~5e-7) swamps the 1.0-threshold comparison. Padded rows
+    themselves are harmless (their d_min is huge and the caller masks them
+    out of the final fraction)."""
+    if gt_valid is None:
+        center = jnp.mean(gt, axis=0)
+    else:
+        w = gt_valid.astype(gt.dtype)[:, None]
+        center = jnp.sum(gt * w, axis=0) / jnp.maximum(jnp.sum(w), 1.0)
     g = gt - center
     p = pts - center
     g2 = jnp.sum(g * g, axis=-1)
@@ -117,7 +129,7 @@ def coverage_percentage(gt: jnp.ndarray, pts: jnp.ndarray, count: jnp.ndarray,
     else:
         idx, valid = subsample_buffer(key, count, pts.shape[0], n_sample)
     sampled = pts[idx]
-    dmin = masked_min_dists(gt, sampled, valid, chunk=chunk)
+    dmin = masked_min_dists(gt, sampled, valid, gt_valid=gt_valid, chunk=chunk)
     close = (dmin < threshold).astype(jnp.float32)
     if gt_valid is not None:
         close = close * gt_valid

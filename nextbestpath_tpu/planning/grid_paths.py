@@ -158,14 +158,22 @@ def extract_path(dist: jnp.ndarray, blocked: jnp.ndarray,
     goal_dist = dist[goal_lh[0], goal_lh[1]]
     reachable = goal_dist < INF
     path_len = jnp.minimum(goal_dist, max_len)
-    # Only the first path_len backwalk steps are ever read below; an
-    # early-exit while_loop walks exactly that many (typical paths are a
-    # fraction of max_len, and unreachable goals walk zero steps).
-    limit = jnp.where(reachable, path_len, 0)
+    # The backwalk must run the FULL goal_dist steps (early-exit while_loop;
+    # typical paths are a fraction of max_len, unreachable goals walk zero):
+    # when goal_dist > max_len the kept prefix is the max_len nodes nearest
+    # the START (the agent executes those and replans when the path runs
+    # out, like the reference's path-exhausted regeneration). Truncating the
+    # walk at max_len would instead keep the GOAL side, making path[0]
+    # non-adjacent to the start — the move would interpolate a multi-cell
+    # jump straight through walls, bypassing the first-segment collision
+    # check. The buffer is written circularly so only max_len slots exist.
+    limit = jnp.where(reachable, goal_dist, 0)
 
     def body(carry):
         node, d, it, buf = carry
-        buf = buf.at[it].set(node)  # pre-step node: buf[0] == goal
+        # Iteration it stores the node at distance goal_dist - it;
+        # circular slot (see re-order below).
+        buf = buf.at[it % max_len].set(node)
         best_node = node
         found = jnp.bool_(False)
         for k, (dl, dh) in enumerate(DIRS):
@@ -191,12 +199,14 @@ def extract_path(dist: jnp.ndarray, blocked: jnp.ndarray,
         (goal_lh, goal_dist, jnp.int32(0),
          jnp.full((max_len, 2), -1, jnp.int32)),
     )
-    # rev_nodes[0] == goal, walking backwards. Re-order to start -> goal and
-    # drop everything past the path length.
-    idx = path_len - 1 - jnp.arange(max_len)
-    idx_c = jnp.clip(idx, 0, max_len - 1)
+    # path[j] (start -> goal order) is the node at distance j + 1, written at
+    # iteration goal_dist - 1 - j, i.e. circular slot (goal_dist - 1 - j)
+    # mod max_len. Drop everything past the (possibly truncated) length.
+    j = jnp.arange(max_len)
+    gd = jnp.where(reachable, goal_dist, 1)  # avoid mod on INF garbage
+    idx_c = jnp.mod(gd - 1 - j, max_len)
     path = rev_nodes[idx_c]
-    valid = idx >= 0
+    valid = j < path_len
     path = jnp.where(valid[:, None], path, -1)
     return path, path_len, reachable
 

@@ -23,10 +23,12 @@ Documented deltas vs the host loop (both behavior-preserving in intent):
   reachable candidates (one distance field computes reachability for ALL
   candidates at once); the host samples over every admissible candidate and
   then walks the score-descending order until a reachable one is found,
-* the unreachable-position memo marks every currently-unreachable candidate
-  at once instead of only the ones the fallback walk happened to try (the
-  untried ones would be skipped later anyway — static GT edges mean
-  reachability of a connected component never changes),
+* the host loop's unreachable-position memo (nbp_utils.py:553,731,746) is
+  subsumed: every plan recomputes exact reachability for ALL candidates
+  from the static GT-edge distance field, and on an undirected graph with
+  static edges the reachable component never changes — so the memo can
+  never exclude a candidate the field doesn't already, and no memo state
+  is carried,
 * after the early-stop / no-path condition fires, the scan keeps executing
   frozen no-op poses (lax.scan has fixed length); their experiences are
   marked invalid and dropped on the host.
@@ -45,8 +47,6 @@ from ..config import Params, default_params
 from ..geometry.cameras import CameraIntrinsics
 from ..ops.coverage import coverage_percentage
 from ..ops.obstacle_map import gt_obstacle_map
-from ..ops.raytrace import tris_to_soa
-from ..ops.scatter2d import height_bins
 from ..planning.candidates import NEG, score_candidates_train
 from ..planning.grid_paths import (
     INF,
@@ -56,7 +56,6 @@ from ..planning.grid_paths import (
 )
 from ..sim.rollout import TrajectoryBuffer, move_and_capture, observe_current
 from ..sim.sensor import PointBuffer
-from ..sim.tables import build_scene_tables
 from ..eval.nbp_planning import build_model_input
 from ..models.fold import fold_bn_variables
 from .replay import ReplayDB
@@ -93,7 +92,6 @@ class CollectState(NamedTuple):
     path: jnp.ndarray         # (P, 3) int32
     path_len: jnp.ndarray     # int32
     path_record: jnp.ndarray  # int32
-    unreachable: jnp.ndarray  # (L, H) bool persistent memo
     visited_rot: jnp.ndarray  # (L, H, A) bool
     done: jnp.ndarray         # bool: rollout ended (coverage / no path)
     key: jax.Array
@@ -108,6 +106,9 @@ class CollectOut(NamedTuple):
     rot: jnp.ndarray          # int32
     coverage: jnp.ndarray     # f32
     valid: jnp.ndarray        # bool
+    planned: jnp.ndarray      # bool: a new path was planned at this pose
+    #                           (suffix labels are mined within one planned
+    #                           path only, nbp_utils.py:654-687)
 
 
 class ScanCollection:
@@ -140,6 +141,10 @@ class ScanCollection:
         self.interpret = interpret
         self.beta = float(boltzmann_beta)
         self.rot_p = float(rotation_override_p)
+        # Same sensor-subsampling scheme as the eval rollout
+        # (scan_rollout.py): collection and evaluation must see the same
+        # point-density distribution when the flag is on.
+        self.stratified = bool(p.get("stratified_sampling", False))
         self.assets_list = list(assets_list)
         self.intr = CameraIntrinsics(
             image_height=int(p.image_height), image_width=int(p.image_width),
@@ -150,38 +155,35 @@ class ScanCollection:
         self.L, self.H, self.A = a0.pose_l, a0.pose_h, a0.n_azim
         self.elev2 = float(a0.elevations_deg[2])
 
+        # Scene arrays + padding come from the shared eval builders (one
+        # sentinel/padding scheme to maintain); CollectScene only adds the
+        # inside-mesh mask the Boltzmann candidate filter needs.
+        from ..eval.scan_rollout import (
+            _pad_scene_arrays,
+            scene_arrays_from_assets,
+        )
+
         f_max = max(a.tris.shape[0] for a in assets_list)
         g_max = max(len(a.gt_surface) for a in assets_list)
         self.scenes: List[CollectScene] = []
         for a in assets_list:
-            tri_soa = np.zeros((9, f_max), np.float32)
-            soa = np.asarray(tris_to_soa(jnp.asarray(a.tris)))
-            tri_soa[:, : soa.shape[1]] = soa
-            tri_soa[:, soa.shape[1]:] = 1e8
-            n_tris = jnp.asarray(a.n_tris, jnp.int32)
-            tables = build_scene_tables(
-                jnp.asarray(tri_soa), n_tris, jnp.asarray(a.pose_origin),
-                self.L, self.H, interpret=interpret)
-            gt = np.full((g_max, 3), 1e7, np.float32)
-            gt[: len(a.gt_surface)] = a.gt_surface
-            gt_valid = np.zeros(g_max, bool)
-            gt_valid[: len(a.gt_surface)] = True
-            verts_y = a.tris[: a.n_tris, :, 1]
-            y_bins = height_bins(jnp.float32(verts_y.min()),
-                                 jnp.float32(verts_y.max()), int(p.n_pieces))
+            scene, tables = scene_arrays_from_assets(
+                a, n_pieces=int(p.n_pieces), interpret=interpret)
+            scene = _pad_scene_arrays(scene, f_max, g_max)
             self.scenes.append(CollectScene(
-                tri_soa=jnp.asarray(tri_soa), n_tris=n_tris,
-                gt=jnp.asarray(gt), gt_valid=jnp.asarray(gt_valid),
-                positions=tables.positions,
-                gt_edge_blocked=tables.gt_edge_blocked,
-                inside=tables.inside, y_bins=y_bins,
-                azims=jnp.asarray(a.azimuths_deg),
+                tri_soa=scene.tri_soa, n_tris=scene.n_tris,
+                gt=scene.gt, gt_valid=scene.gt_valid,
+                positions=scene.positions,
+                gt_edge_blocked=scene.gt_edge_blocked,
+                inside=tables.inside, y_bins=scene.y_bins,
+                azims=scene.azims,
             ))
 
     def _sig(self):
         p = self.p
         return ("collect", self.model, self.intr, self.L, self.H, self.A,
                 self.elev2, self.interpret, self.beta, self.rot_p,
+                self.stratified,
                 int(p.pc2img_size[0]), int(p.value_map_size[0]),
                 int(p.n_pieces), int(p.points_per_frame),
                 float(p.gathering_factor), float(p.sensor_range),
@@ -213,6 +215,7 @@ class ScanCollection:
             self.intr, n_slots=int(p.points_per_frame),
             gathering_factor=float(p.gathering_factor),
             sensor_range=float(p.sensor_range), interpret=self.interpret,
+            stratified=self.stratified,
         )
         model_input, _ = build_model_input(
             pc, state.traj, cur_pose5[:3], scene.y_bins,
@@ -224,7 +227,7 @@ class ScanCollection:
 
         regen = state.path_record >= state.path_len
 
-        def do_plan(unreachable):
+        def do_plan(_):
             value_map, _ = self.model.apply(variables, model_input,
                                             train=False)
             scores = score_candidates_train(
@@ -234,7 +237,6 @@ class ScanCollection:
             dist = bfs_distance_field(scene.gt_edge_blocked, state.cur[:2],
                                       L, H)
             reachable = (dist >= 1) & (dist < INF)
-            unreachable = unreachable | (~reachable)
             ok = (scores > NEG / 2) & scene.inside & reachable
             logits = jnp.where(ok, scores / self.beta, -jnp.inf)
             flat = jax.random.categorical(k_bolt, logits.reshape(-1))
@@ -250,15 +252,15 @@ class ScanCollection:
             )
             path = jnp.concatenate(
                 [path_arr, rots[:, None].astype(jnp.int32)], axis=-1)
-            return (unreachable, jnp.where(found, path, 0),
+            return (jnp.where(found, path, 0),
                     jnp.where(found, plen, 0), found)
 
-        def keep(unreachable):
-            return unreachable, state.path, state.path_len, jnp.bool_(True)
+        def keep(_):
+            return state.path, state.path_len, jnp.bool_(True)
 
         plan_now = regen & (~state.done) & (cov <= 0.95)
-        unreachable, path, path_len, found = jax.lax.cond(
-            plan_now, do_plan, keep, state.unreachable)
+        path, path_len, found = jax.lax.cond(
+            plan_now, do_plan, keep, operand=None)
         path_record = jnp.where(plan_now, 0, state.path_record)
 
         # Early-stop conditions (evaluated BEFORE this pose's experience is
@@ -276,6 +278,7 @@ class ScanCollection:
             rot=state.cur[2],
             coverage=cov,
             valid=valid,
+            planned=plan_now,
         )
 
         # Next waypoint + random rotation override p=0.6 (:766-768).
@@ -293,11 +296,12 @@ class ScanCollection:
             n_slots=int(p.points_per_frame),
             gathering_factor=float(p.gathering_factor),
             sensor_range=float(p.sensor_range), interpret=self.interpret,
+            stratified=self.stratified,
         )
         visited_rot = state.visited_rot.at[nxt[0], nxt[1], nxt[2]].set(True)
         new_state = CollectState(
             pc=pc, traj=traj, cur=nxt, path=path, path_len=path_len,
-            path_record=path_record + 1, unreachable=unreachable,
+            path_record=path_record + 1,
             visited_rot=visited_rot, done=done, key=key,
         )
         return new_state, out
@@ -336,6 +340,7 @@ class ScanCollection:
             n_slots=int(p.points_per_frame),
             gathering_factor=float(p.gathering_factor),
             sensor_range=float(p.sensor_range), interpret=self.interpret,
+            stratified=self.stratified,
         )
         visited = jnp.zeros((self.L, self.H, self.A), bool)
         visited = visited.at[cur[0], cur[1], cur[2]].set(True)
@@ -343,7 +348,6 @@ class ScanCollection:
             pc=pc, traj=traj, cur=cur,
             path=jnp.zeros((int(p.max_path_len), 3), jnp.int32),
             path_len=jnp.int32(0), path_record=jnp.int32(0),
-            unreachable=jnp.zeros((self.L, self.H), bool),
             visited_rot=visited, done=jnp.bool_(False), key=key,
         )
 
@@ -377,9 +381,19 @@ class ScanCollection:
 def suffix_labels_from_out(out: CollectOut, value_map_size: int,
                            grid_range: Tuple[float, float]):
     """Path-suffix label mining over a rollout's stacked records
-    (nbp_utils.py:654-683): for valid poses i < j, pose_j's position
-    projects into pose_i's egocentric value-map frame; in-bounds pairs
-    produce a (rot_j, row, col) pixel with gain max(0, 100*(cov_j - cov_i)).
+    (nbp_utils.py:654-687): for valid poses i < j ON THE SAME PLANNED PATH,
+    pose_j's position projects into pose_i's egocentric value-map frame;
+    in-bounds pairs produce a (rot_j, row, col) pixel with gain
+    max(0, 100*(cov_j - cov_i)).
+
+    The reference clears its experiences list at every replan before
+    appending the replan pose, so pairs never span a replan boundary —
+    cross-path pairs would credit pose_i's value map with coverage gained
+    via a different later plan. Segments are recovered from out.planned
+    (True at poses that started a new path). Delta vs the reference
+    (matching our host collector, collection.py:266): the final segment is
+    also mined; the reference's control flow drops the leftover list when
+    the pose loop ends.
 
     Returns a list of (pose_index, pixels (k,3) i32, gains (k,) f32).
     """
@@ -392,14 +406,16 @@ def suffix_labels_from_out(out: CollectOut, value_map_size: int,
     pose5 = np.asarray(out.pose5)[idx]       # (P, 5)
     cov = np.asarray(out.coverage)[idx]      # (P,)
     rot = np.asarray(out.rot)[idx]           # (P,)
+    seg = np.cumsum(np.asarray(out.planned)[idx])  # (P,) path segment id
     P = len(idx)
     dx = pose5[None, :, 0] - pose5[:, None, 0]   # (i, j)
     dz = pose5[None, :, 2] - pose5[:, None, 2]
     row = np.rint((-dz - lo) * scale).astype(np.int64)
     col = np.rint((-dx - lo) * scale).astype(np.int64)
     upper = np.triu(np.ones((P, P), bool), k=1)
+    same_path = seg[:, None] == seg[None, :]
     in_b = ((row >= 0) & (row < value_map_size)
-            & (col >= 0) & (col < value_map_size) & upper)
+            & (col >= 0) & (col < value_map_size) & upper & same_path)
     gain = np.maximum((cov[None, :] - cov[:, None]) * 100.0, 0.0)
     results = []
     for i in range(P):
@@ -432,5 +448,10 @@ def collect_trajectory_scan(
             np.transpose(out.model_input[pose_i], (2, 0, 1)),
             out.gt_obs[pose_i], pixels, gains, pose_i,
         )
+    # valid[k] is False at the pose where an early stop fired, but that
+    # pose's coverage measurement was still taken (the host collector and
+    # the reference append it before breaking, collection.py:162-167) —
+    # include it. Numpy slicing caps n_valid + 1 at n_poses when the
+    # rollout never ended early.
     n_valid = int(np.sum(out.valid))
-    return [float(c) for c in np.asarray(out.coverage)[: max(n_valid, 1)]]
+    return [float(c) for c in np.asarray(out.coverage)[: max(n_valid + 1, 1)]]

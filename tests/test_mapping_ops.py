@@ -184,3 +184,28 @@ def test_mirror_scene_flips_geometry():
     gx = assets.gt_surface[:, 0]
     assert gx.min() >= s2.scene.x_min[0] - 0.5
     assert gx.max() <= s2.scene.x_max[0] + 0.5
+
+
+def test_coverage_padded_gt_matches_unpadded():
+    """Batched consumers pad GT clouds with 1e7 sentinel rows + a gt_valid
+    mask (scan_rollout._pad_scene_arrays, ScanCollection.__init__).
+    Regression: the centering mean inside masked_min_dists must exclude the
+    sentinel rows — a sentinel-shifted center inflates the d^2 terms until
+    the Precision.HIGH matmul loses the 1.0 threshold entirely."""
+    rng = np.random.default_rng(3)
+    gt = jnp.asarray(rng.uniform(0.0, 150.0, (1900, 3)), jnp.float32)
+    # Reconstruction: jittered copy of 60% of GT (well inside threshold 1).
+    rec = np.asarray(gt[:1140]) + rng.uniform(-0.2, 0.2, (1140, 3))
+    buf = jnp.zeros((4096, 3), jnp.float32).at[:1140].set(
+        jnp.asarray(rec, jnp.float32))
+    key = jax.random.PRNGKey(1)
+
+    cov_ref = float(coverage_percentage(gt, buf, jnp.int32(1140), key))
+
+    # Same GT padded to 2048 rows with the 1e7 sentinel (7% pad).
+    gt_pad = jnp.concatenate(
+        [gt, jnp.full((148, 3), 1e7, jnp.float32)])
+    gt_valid = jnp.arange(2048) < 1900
+    cov_pad = float(coverage_percentage(gt_pad, buf, jnp.int32(1140), key,
+                                        gt_valid=gt_valid))
+    assert abs(cov_pad - cov_ref) < 5e-3, (cov_pad, cov_ref)

@@ -154,3 +154,49 @@ def test_lattice_positions():
     assert pos.shape == (4, 3, 3)
     np.testing.assert_allclose(pos[0, 0], [10.0, 3.3, 20.0])
     np.testing.assert_allclose(pos[2, 1], [16.0, 3.3, 23.0])
+
+
+def test_extract_path_truncation_keeps_start_side():
+    """Regression: when goal_dist > max_len the kept prefix must be the
+    max_len nodes nearest the START (adjacent first hop, consecutive unit
+    moves), not the goal side — a goal-side prefix made path[0] a
+    multi-cell jump that bypassed the first-segment collision check and
+    teleported the camera through walls."""
+    L, H = 10, 10
+    blocked = jnp.zeros((4, L, H), bool)
+    start = jnp.asarray([0, 0])
+    goal = jnp.asarray([9, 9])  # distance 18 > max_len 5
+    dist = bfs_distance_field(blocked, start, L, H)
+    path, plen, reachable = extract_path(dist, blocked, goal, L, H, max_len=5)
+    assert bool(reachable)
+    assert int(plen) == 5
+    path = np.asarray(path)
+    prev = np.array([0, 0])
+    d = np.asarray(dist)
+    for j in range(5):
+        assert abs(path[j] - prev).sum() == 1, (j, path[j], prev)
+        assert d[path[j][0], path[j][1]] == j + 1
+        prev = path[j]
+
+    # Serpentine maze variant: winding shortest path, truncated mid-corridor.
+    blocked_np = np.zeros((4, L, H), bool)
+    for j in range(H - 1):
+        open_row = (L - 1) if j % 2 == 0 else 0
+        for i in range(L):
+            if i != open_row:
+                blocked_np[2, i, j] = True
+                blocked_np[3, i, j + 1] = True
+    blocked_s = jnp.asarray(blocked_np)
+    dist_s = bfs_distance_field(blocked_s, start, L, H)
+    goal_s = jnp.asarray([9, 9])
+    assert int(dist_s[9, 9]) > 20
+    path_s, plen_s, r_s = extract_path(dist_s, blocked_s, goal_s, L, H,
+                                       max_len=20)
+    assert bool(r_s) and int(plen_s) == 20
+    path_s = np.asarray(path_s)
+    prev = np.array([0, 0])
+    ds = np.asarray(dist_s)
+    for j in range(20):
+        assert abs(path_s[j] - prev).sum() == 1, (j, path_s[j], prev)
+        assert ds[path_s[j][0], path_s[j][1]] == j + 1
+        prev = path_s[j]

@@ -35,8 +35,9 @@ def test_soa_roundtrip():
 
 
 def test_suffix_labels_match_host_miner():
-    """suffix_labels_from_out must reproduce collection._suffix_labels on
-    the same records."""
+    """suffix_labels_from_out must reproduce collection._suffix_labels
+    flushed per planned-path segment (the host flushes at every replan, so
+    pairs never span a replan boundary — nbp_utils.py:654-687)."""
     from nextbestpath_tpu.train.collection import _suffix_labels
 
     rng = np.random.default_rng(3)
@@ -47,27 +48,38 @@ def test_suffix_labels_match_host_miner():
     cov = np.sort(rng.uniform(0, 1, P)).astype(np.float32)
     rot = rng.integers(0, 8, P).astype(np.int32)
     grid_range = (-24.0, 24.0)
+    planned = np.zeros(P, bool)
+    planned[[0, 5, 9]] = True  # three path segments: [0:5], [5:9], [9:12]
 
     out = CollectOut(
         model_input=np.zeros((P, S, S, 5), np.float32),
         gt_obs=np.zeros((P, S, S), bool),
         pose5=pose5, rot=rot, coverage=cov,
-        valid=np.ones(P, bool),
+        valid=np.ones(P, bool), planned=planned,
     )
     got = suffix_labels_from_out(out, vms, grid_range)
 
-    experiences = [
-        dict(coverage=float(cov[i]), cam_pose5=pose5[i], rot=int(rot[i]),
-             model_input=None, gt_obs=None, pose_i=i)
-        for i in range(P)
-    ]
-    want = _suffix_labels(experiences, vms, grid_range)
+    want = []
+    for a, b in ((0, 5), (5, 9), (9, 12)):
+        experiences = [
+            dict(coverage=float(cov[i]), cam_pose5=pose5[i], rot=int(rot[i]),
+                 model_input=None, gt_obs=None, pose_i=i)
+            for i in range(a, b)
+        ]
+        want.extend(_suffix_labels(experiences, vms, grid_range))
 
     assert len(got) == len(want)
+    assert len(got) > 0
     for (gi, gpix, ggain), (wex, wpix, wgain) in zip(got, want):
         assert gi == wex["pose_i"]
         np.testing.assert_array_equal(gpix, wpix)
         np.testing.assert_allclose(ggain, wgain, atol=1e-5)
+
+    # Cross-segment pairs are excluded: an unsegmented miner (planned only
+    # at pose 0) must produce strictly more labels.
+    out_flat = out._replace(planned=np.eye(1, P, 0, dtype=bool)[0])
+    got_flat = suffix_labels_from_out(out_flat, vms, grid_range)
+    assert sum(len(g[2]) for g in got_flat) > sum(len(g[2]) for g in got)
 
 
 @pytest.mark.slow
