@@ -68,6 +68,7 @@ def run_training_nbp(
         else:
             state, tl, vl = train_nbp(model, state, db, validation_data,
                                       current_epoch=epoch, params=p,
+                                      seed=seed * 131 + epoch,
                                       verbose=verbose)
             log["train"].append(tl)
             log["val"].append(vl)
@@ -177,12 +178,35 @@ def run_training_nbp_scan(
                             lr=lr)
         best_val = float(extra.get("best_val", best_val))
         start_epoch = int(epoch) + 1
-        if db_dir:
-            db_high_water = db.load_dir(db_dir)
+        if not db_dir:
+            raise ValueError(
+                "resume=True needs db_dir: resuming past epoch 0 with an "
+                "empty replay DB cannot train")
+        # Only shards from epochs the checkpoint has seen are valid; later
+        # ones are leftovers from a longer previous run (or an epoch whose
+        # checkpoint never landed) — delete them so neither this resume nor
+        # a later one mixes stale off-policy data into the store.
+        for fname in sorted(os.listdir(db_dir)) if os.path.isdir(db_dir) else []:
+            if fname.startswith("epoch_") and fname.endswith(".npz"):
+                try:
+                    shard_epoch = int(fname[len("epoch_"):-len(".npz")])
+                except ValueError:
+                    continue
+                if shard_epoch > int(epoch):
+                    os.remove(os.path.join(db_dir, fname))
+                    if verbose:
+                        print(f"resume: deleted stale shard {fname} "
+                              f"(> checkpoint epoch {int(epoch)})")
+        db_high_water = db.load_dir(db_dir, max_epoch=int(epoch))
         if val_path and os.path.exists(val_path):
             val_db = ReplayDB()
             val_db.load(val_path)
             validation_data = val_db.entries
+        else:
+            raise ValueError(
+                f"resume=True but the validation split {val_path} is "
+                "missing: an empty validation set returns loss 0.0 and "
+                "would clobber the best-val checkpoint every epoch")
         if os.path.exists(log_path):
             with open(log_path) as f:
                 prev = json.load(f)
@@ -219,6 +243,7 @@ def run_training_nbp_scan(
         else:
             state, tl, vl = train_nbp(model, state, db, validation_data,
                                       current_epoch=epoch, params=p,
+                                      seed=seed * 131 + epoch,
                                       verbose=verbose)
             log["train"].append(tl)
             log["val"].append(vl)

@@ -96,10 +96,10 @@ class ReplayDB:
 
     # -- persistence ------------------------------------------------------
 
-    def save_entries(self, path: str, entries: List[Experience]) -> None:
-        """Write a slice of entries as one uncompressed npz (fast on the
-        single-core box; used for per-epoch incremental persistence)."""
-        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    @staticmethod
+    def _pack(entries: List[Experience]) -> Dict[str, Any]:
+        """One npz-ready dict per entry list (single packing scheme for
+        every persistence path)."""
         arrays: Dict[str, Any] = {"n": np.asarray(len(entries))}
         for i, e in enumerate(entries):
             arrays[f"mi_{i}"] = e.model_input
@@ -107,7 +107,13 @@ class ReplayDB:
             arrays[f"px_{i}"] = e.pixels
             arrays[f"gn_{i}"] = e.gains
             arrays[f"pi_{i}"] = np.asarray(e.pose_i)
-        np.savez(path, **arrays)
+        return arrays
+
+    def save_entries(self, path: str, entries: List[Experience]) -> None:
+        """Write a slice of entries as one uncompressed npz (fast on the
+        single-core box; used for per-epoch incremental persistence)."""
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        np.savez(path, **self._pack(entries))
 
     def save_epoch(self, db_dir: str, epoch: int, start: int) -> int:
         """Persist entries[start:] as <db_dir>/epoch_<epoch>.npz; returns the
@@ -116,14 +122,27 @@ class ReplayDB:
                           self.entries[start:])
         return len(self.entries)
 
-    def load_dir(self, db_dir: str) -> int:
-        """Load every epoch_*.npz shard (sorted) into the store."""
+    def load_dir(self, db_dir: str, max_epoch: Optional[int] = None) -> int:
+        """Load epoch_*.npz shards (sorted) into the store.
+
+        max_epoch: skip shards from epochs AFTER it. A resume must pass the
+        resumed checkpoint's epoch here — shards past it are leftovers from
+        a longer previous run (or from an epoch whose checkpoint never
+        landed) and loading them would silently mix another policy's data
+        into the store as the "newest" entries."""
         if not os.path.isdir(db_dir):
             return 0
         n_loaded = 0
         for fname in sorted(os.listdir(db_dir)):
             if not (fname.startswith("epoch_") and fname.endswith(".npz")):
                 continue
+            if max_epoch is not None:
+                try:
+                    shard_epoch = int(fname[len("epoch_"):-len(".npz")])
+                except ValueError:
+                    shard_epoch = None
+                if shard_epoch is not None and shard_epoch > max_epoch:
+                    continue
             with np.load(os.path.join(db_dir, fname)) as z:
                 n = int(z["n"])
                 for i in range(n):
@@ -136,17 +155,14 @@ class ReplayDB:
         return n_loaded
 
     def save(self, path: Optional[str] = None) -> None:
+        """Full-store snapshot, uncompressed: the legacy epoch driver calls
+        this every epoch on a growing store, and zlib over gigabytes of
+        f16/u8 arrays (which barely compress) dominated late-epoch wall
+        time on the single-core box."""
         path = path or self.path
         assert path is not None
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        arrays: Dict[str, Any] = {"n": np.asarray(len(self.entries))}
-        for i, e in enumerate(self.entries):
-            arrays[f"mi_{i}"] = e.model_input
-            arrays[f"gl_{i}"] = e.gt_layout
-            arrays[f"px_{i}"] = e.pixels
-            arrays[f"gn_{i}"] = e.gains
-            arrays[f"pi_{i}"] = np.asarray(e.pose_i)
-        np.savez_compressed(path, **arrays)
+        np.savez(path, **self._pack(self.entries))
 
     def load(self, path: str) -> None:
         with np.load(path) as z:

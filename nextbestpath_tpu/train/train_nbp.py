@@ -33,7 +33,8 @@ MICRO_BATCH = 8  # fixed device batch: one compile, fits v5e HBM at 256^2
 
 def make_optimizer(lr: float = 1e-3, weight_decay: float = 0.01,
                    accumulation_steps: int = 7):
-    """AdamW + gradient accumulation + host-controlled LR scale."""
+    """AdamW + gradient accumulation; the LR is controlled by mutating the
+    injected hyperparam (train_nbp below)."""
     opt = optax.inject_hyperparams(optax.adamw)(
         learning_rate=lr, b1=0.9, b2=0.999, eps=1e-8,
         weight_decay=weight_decay,
@@ -87,13 +88,25 @@ def build_device_dataset(data: List[Experience],
     pixels = np.zeros((cap, MAX_PIXELS, 3), np.int32)
     gains = np.zeros((cap, MAX_PIXELS), np.float32)
     pweights = np.zeros((cap, MAX_PIXELS), np.float32)
+    n_dropped = 0
     for i, e in enumerate(data):
         x[i] = e.model_input.transpose(1, 2, 0)
         layout[i] = e.gt_layout
         k = min(len(e.gains), MAX_PIXELS)
+        n_dropped += len(e.gains) - k
         pixels[i, :k] = e.pixels[:k]
         gains[i, :k] = e.gains[:k]
         pweights[i, :k] = 1.0
+    if n_dropped:
+        # Rollouts longer than ~MAX_PIXELS poses can mine more suffix
+        # pixels per early state than the pad width holds; never drop the
+        # tail silently (the old 64 cap did, biasing value targets for the
+        # first third of each trajectory).
+        import sys
+
+        print(f"WARNING: build_device_dataset dropped {n_dropped} target "
+              f"pixels past the MAX_PIXELS={MAX_PIXELS} pad width "
+              "(raise it for longer rollouts)", file=sys.stderr)
     ds = dict(x=jnp.asarray(x), layout=jnp.asarray(layout),
               pixels=jnp.asarray(pixels), gains=jnp.asarray(gains),
               pweights=jnp.asarray(pweights))
@@ -112,7 +125,7 @@ def _gather_pred_values(value_map: jnp.ndarray, pixels: jnp.ndarray):
 
 @functools.partial(jax.jit, static_argnames=("model", "optimizer"),
                    donate_argnums=(2, 3))
-def _train_step_ds(model: NBP, optimizer, variables, opt_state, lr_scale,
+def _train_step_ds(model: NBP, optimizer, variables, opt_state,
                    ds, idx, sw):
     """One micro step gathered from the device-resident dataset.
 
@@ -137,7 +150,6 @@ def _train_step_ds(model: NBP, optimizer, variables, opt_state, lr_scale,
     (loss, mutated), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         variables["params"]
     )
-    grads = jax.tree.map(lambda g: g * lr_scale, grads)
     updates, opt_state = optimizer.update(grads, opt_state,
                                           variables["params"])
     params = optax.apply_updates(variables["params"], updates)
@@ -163,15 +175,26 @@ def _eval_step_ds(model: NBP, variables, ds, idx, sw):
     return mse + bce
 
 
-def _micro_chunks(indices: List[int], micro: int):
-    """(idx (micro,), sw (micro,)) chunks; ragged tails zero-weighted."""
+def _micro_chunks(indices: List[int], micro: int,
+                  rng: Optional[random.Random] = None):
+    """(idx (micro,), sw (micro,)) chunks; ragged tails zero-weighted.
+
+    Tail rows still flow through BatchNorm batch statistics in training
+    (sw only zeroes their loss), so with an rng they are filled with
+    random draws from the pool — always padding with entry 0 would skew
+    that step's normalization and the running-stats EMA toward one sample
+    every epoch."""
     for j in range(0, len(indices), micro):
         chunk = indices[j: j + micro]
+        n_pad = micro - len(chunk)
+        if n_pad and rng is not None:
+            pad = [indices[rng.randrange(len(indices))] for _ in range(n_pad)]
+        else:
+            pad = [indices[0] if indices else 0] * n_pad
         sw = np.zeros((micro,), np.float32)
         sw[: len(chunk)] = 1.0
-        idx = np.zeros((micro,), np.int32)
-        idx[: len(chunk)] = chunk
-        yield jnp.asarray(idx), jnp.asarray(sw)
+        yield jnp.asarray(np.asarray(list(chunk) + pad, np.int32)), (
+            jnp.asarray(sw))
 
 
 def train_epoch_ds(model: NBP, state: TrainState, ds, index_pool: List[int],
@@ -183,10 +206,10 @@ def train_epoch_ds(model: NBP, state: TrainState, ds, index_pool: List[int],
     pool = list(index_pool)
     rng.shuffle(pool)
     losses = []
-    for idx, sw in _micro_chunks(pool, micro_batch):
+    for idx, sw in _micro_chunks(pool, micro_batch, rng=rng):
         new_vars, new_opt, loss = _train_step_ds(
             model, state.optimizer, state.variables, state.opt_state,
-            jnp.float32(1.0), ds, idx, sw,
+            ds, idx, sw,
         )
         state = dataclasses.replace(state, variables=new_vars,
                                     opt_state=new_opt)
@@ -202,34 +225,58 @@ def validate_ds(model: NBP, state: TrainState, ds, n: int,
     return float(np.mean([float(l) for l in losses])) if losses else 0.0
 
 
+def _epoch_pool(data: List[Experience], current_epoch: int) -> List[int]:
+    """Trainable indices; the reference's epoch-1 rule skips samples with
+    pose_i <= 10 (nbp_utils.py:352)."""
+    return [i for i, e in enumerate(data)
+            if (e.pose_i > 10 and current_epoch == 1) or current_epoch > 1]
+
+
+def release_device_dataset(ds) -> None:
+    """Explicitly free a staged dataset's device buffers. Dropping Python
+    refs is not enough on the remote-TPU backend: the client keeps
+    host-side mirrors of transferred buffers until explicit deletion
+    (~7 GB/epoch of staging accumulated to a host OOM at reference
+    scale)."""
+    for v in ds.values():
+        try:
+            v.delete()
+        except Exception:
+            pass
+
+
 def train_epoch(model: NBP, state: TrainState, data: List[Experience],
                 batch_size: int, current_epoch: int,
                 rng: random.Random,
                 micro_batch: int = MICRO_BATCH) -> Tuple[TrainState, float]:
-    """List-API wrapper: stage `data` on device, then run one epoch.
-    (The reference's epoch-1 rule skips samples with pose_i <= 10,
-    nbp_utils.py:352.)"""
+    """List-API wrapper: stage `data` on device, run one epoch, release."""
     ds, n = build_device_dataset(data)
-    pool = [i for i, e in enumerate(data)
-            if (e.pose_i > 10 and current_epoch == 1) or current_epoch > 1]
+    pool = _epoch_pool(data, current_epoch)
     micro = min(micro_batch, batch_size)
-    return train_epoch_ds(model, state, ds, pool, rng, micro_batch=micro)
+    try:
+        return train_epoch_ds(model, state, ds, pool, rng, micro_batch=micro)
+    finally:
+        release_device_dataset(ds)
 
 
-_VAL_DS_CACHE: Dict[int, Tuple[Any, int]] = {}
+# One cached staged validation set. The cache entry RETAINS the list object
+# and compares by identity — keying on a bare id() served a stale device
+# dataset when CPython recycled a freed list's id across runs in the same
+# process (tools/finetune_per_level.py runs four trainings per process).
+_VAL_DS_CACHE: List[Tuple[Any, int, List[Experience]]] = []
 
 
 def validate(model: NBP, state: TrainState, data: List[Experience],
              batch_size: int, micro_batch: int = MICRO_BATCH) -> float:
     if not data:
         return 0.0
-    key = id(data)
-    cached = _VAL_DS_CACHE.get(key)
-    if cached is None or cached[1] != len(data):
-        _VAL_DS_CACHE.clear()
-        _VAL_DS_CACHE[key] = build_device_dataset(data)
-        cached = _VAL_DS_CACHE[key]
-    ds, n = cached
+    if not (_VAL_DS_CACHE and _VAL_DS_CACHE[0][2] is data):
+        if _VAL_DS_CACHE:
+            release_device_dataset(_VAL_DS_CACHE[0][0])
+            _VAL_DS_CACHE.clear()
+        ds, n = build_device_dataset(data)
+        _VAL_DS_CACHE.append((ds, n, data))
+    ds, n, _ = _VAL_DS_CACHE[0]
     return validate_ds(model, state, ds, n,
                        micro_batch=min(micro_batch, batch_size))
 
@@ -305,21 +352,23 @@ def train_nbp(model: NBP, state: TrainState, db: ReplayDB,
     """5 inner epochs over combined replay data (train_nbp,
     nbp_utils.py:430-467)."""
     p = params or default_params()
+    # Callers pass an epoch-dependent seed: a fixed stream would re-sample
+    # the same "random" older entries and replay the same shuffle
+    # permutations every outer epoch.
     rng = random.Random(seed)
     if current_epoch == 1:
         data = db.read_combined(last_n=None)
     else:
         # Bounded slice (newest 4608 + sampled 2048 older) so the staged
         # device dataset fits HBM next to model/optimizer/activations.
-        data = db.read_combined(last_n=4608, sample_size=2048)
+        data = db.read_combined(last_n=4608, sample_size=2048, rng=rng)
     sched = PlateauScheduler()
     lr = state.lr
     train_losses, val_losses = [], []
     # Stage the slice on device ONCE for all inner epochs (f16/u8 arrays;
     # micro steps gather by index — no per-step host transfers).
     ds, _ = build_device_dataset(data)
-    pool = [i for i, e in enumerate(data)
-            if (e.pose_i > 10 and current_epoch == 1) or current_epoch > 1]
+    pool = _epoch_pool(data, current_epoch)
     micro = min(MICRO_BATCH, int(p.nbp_batch_size))
     for e in range(num_epochs):
         state, tl = train_epoch_ds(model, state, ds, pool, rng,
@@ -336,15 +385,7 @@ def train_nbp(model: NBP, state: TrainState, db: ReplayDB,
         if verbose:
             print(f"  inner epoch {e + 1}: train {tl:.4f} val {vl:.4f} lr {lr:.2e}")
     state = dataclasses.replace(state, lr=lr)
-    # Release the staged epoch slice NOW. Dropping the Python refs is not
-    # enough on the remote-TPU backend: the client keeps host-side mirrors
-    # of transferred buffers until explicit deletion, and ~7 GB/epoch of
-    # staging accumulated to a host OOM at reference scale (epoch ~20).
-    for v in ds.values():
-        try:
-            v.delete()
-        except Exception:
-            pass
+    release_device_dataset(ds)
     import gc
 
     gc.collect()
