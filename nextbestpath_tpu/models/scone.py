@@ -224,9 +224,19 @@ def visibility_gains(pts: jnp.ndarray, harmonics: jnp.ndarray,
 
 def coverage_gain(pts: jnp.ndarray, harmonics: jnp.ndarray,
                   X_cam: jnp.ndarray, max_rank: int = 8,
-                  use_sigmoid: bool = True) -> jnp.ndarray:
+                  use_sigmoid: bool = True,
+                  fov_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Global coverage gain per candidate camera
     (SconeVis.compute_coverage_gain, SconeVis.py:210-252): mean visibility
-    over points. (B, C)."""
+    over points. (B, C).
+
+    fov_mask (B, C, N): restrict to the points inside each candidate's
+    frustum (the reference sums visibility gains over fov proxy points,
+    predict_coverage_gain_for_single_camera macarons_utils.py:1909-2080 —
+    this is what makes the gain depend on candidate ORIENTATION, not just
+    position). Denominator stays pts.shape[1] so masked and unmasked gains
+    share a scale."""
     vis = visibility_gains(pts, harmonics, X_cam, max_rank, use_sigmoid)
+    if fov_mask is not None:
+        vis = vis * fov_mask
     return jnp.sum(vis, axis=-1) / pts.shape[1]

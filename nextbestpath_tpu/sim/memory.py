@@ -41,6 +41,26 @@ class Memory:
     def current_trajectory(self) -> int:
         return self.current_epoch % self.n_trajectories
 
+    def begin_trajectory(self, scene_memory_path: str) -> int:
+        """Clear the current slot's stale files before a new trajectory.
+
+        Slots are reused round-robin (current_epoch % n_trajectories); a
+        shorter new trajectory would otherwise leave a tail of the previous
+        occupant's frames/depths in place, and n_frames/n_depths would count
+        them — replay would then mix two trajectories' data (old depths
+        supervised by the new occupancy snapshot). Returns the slot."""
+        traj = self.current_trajectory()
+        for sub in ("frames", "depths", "surface", "occupancy"):
+            d = self.trajectory_dir(scene_memory_path, traj, sub)
+            for f in os.listdir(d):
+                if f.endswith(".npz"):
+                    os.remove(os.path.join(d, f))
+        poses = os.path.join(self.trajectory_dir(scene_memory_path, traj,
+                                                 "frames"), "..", "poses.json")
+        if os.path.exists(poses):
+            os.remove(poses)
+        return traj
+
     def get_trajectory_frames_path(self, scene_memory_path: str,
                                    traj: int) -> str:
         return self.trajectory_dir(scene_memory_path, traj, "frames")
@@ -121,6 +141,13 @@ class Memory:
             out_of_field=np.asarray(out_of_field, np.float16),
         )
 
+    def has_occupancy(self, scene_memory_path: str, traj: int) -> bool:
+        """Cheap existence check (candidate filters must not decompress
+        every trajectory's snapshot just to test eligibility)."""
+        return os.path.exists(
+            os.path.join(self.trajectory_dir(scene_memory_path, traj,
+                                             "occupancy"), "field.npz"))
+
     def load_occupancy(self, scene_memory_path: str,
                        traj: int) -> Optional[Dict[str, np.ndarray]]:
         """Loader analog of load_occupancy_field_from_memory
@@ -177,13 +204,17 @@ class Memory:
             t for t in range(self.n_trajectories)
             if t != self.current_trajectory()
             and self.n_depths(scene_memory_path, t) >= n_frames
-            and self.load_occupancy(scene_memory_path, t) is not None
+            and self.has_occupancy(scene_memory_path, t)
         ]
         if not candidates:
             return None
         traj = rng.choice(candidates)
         total = self.n_depths(scene_memory_path, traj)
-        picks = rng.sample(range(total), n_frames)
+        # Sorted: the base frames must replay IN TRAJECTORY ORDER (they
+        # rebuild the covered state the agent actually had) and the held-out
+        # replay frames must be the LATEST of the window, matching
+        # memory_scene_loop's semantics (train_macarons.py docstrings).
+        picks = sorted(rng.sample(range(total), n_frames))
         clouds, valids, cams = [], [], []
         d_dir = self.trajectory_dir(scene_memory_path, traj, "depths")
         for i in picks:
@@ -197,12 +228,15 @@ class Memory:
             flat_w = world.reshape(-1, 3)
             ok = (flat_d > 0) & (flat_d < sensor_range)
             idx = np.nonzero(ok)[0]
-            if len(idx) == 0:
-                continue
-            keep = rng.sample(range(len(idx)),
-                              min(points_per_frame, len(idx)))
+            # A fully-masked frame still contributes an all-invalid cloud:
+            # dropping it would shift the base/held-out split and change
+            # base_clouds' shape, forcing a scone_replay_step retrace per
+            # distinct surviving-frame count.
+            keep = (rng.sample(range(len(idx)),
+                               min(points_per_frame, len(idx)))
+                    if len(idx) else [])
             cloud = np.zeros((points_per_frame, 3), np.float32)
-            cloud[: len(keep)] = flat_w[idx[keep]]
+            cloud[: len(keep)] = flat_w[idx[keep]] if keep else 0.0
             valid = np.zeros((points_per_frame,), bool)
             valid[: len(keep)] = True
             clouds.append(cloud)
@@ -210,12 +244,14 @@ class Memory:
             # Camera center: eye = -T @ R^T (T = -eye @ R, cameras.py).
             cams.append((-np.asarray(T).reshape(3) @ np.asarray(R)
                          .reshape(3, 3).T).astype(np.float32))
-        if len(clouds) <= n_replay_poses:
-            return None
         occ = self.load_occupancy(scene_memory_path, traj)
         n_base = len(clouds) - n_replay_poses
+        if n_base <= 0:
+            return None
         base = np.concatenate(
             [c[v] for c, v in zip(clouds[:n_base], valids[:n_base])], axis=0)
+        if len(base) == 0:
+            return None  # every base frame fully masked: nothing to replay
         occ["surface"] = base
         occ["proxy_points"] = occ.pop("points")
         if n_replay_poses > 0:
@@ -226,11 +262,21 @@ class Memory:
             occ["replay_cams"] = np.stack(cams[n_base:])
         return occ
 
-    def save_poses(self, scene_memory_path: str,
-                   poses: List[List[float]]) -> None:
-        with open(os.path.join(scene_memory_path, "poses.json"), "w") as f:
+    def save_poses(self, scene_memory_path: str, poses: List[List[float]],
+                   traj: Optional[int] = None) -> None:
+        """Full per-trajectory pose history (the reference's per-epoch pose
+        dumps, train_macarons.py:1402-1410). Written into the trajectory
+        slot so histories from different trajectories never overwrite each
+        other; traj defaults to the current slot."""
+        traj = self.current_trajectory() if traj is None else traj
+        d = os.path.join(scene_memory_path, "training", str(traj))
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "poses.json"), "w") as f:
             json.dump({"poses": poses}, f)
 
-    def load_poses(self, scene_memory_path: str) -> List[List[float]]:
-        with open(os.path.join(scene_memory_path, "poses.json")) as f:
+    def load_poses(self, scene_memory_path: str,
+                   traj: Optional[int] = None) -> List[List[float]]:
+        traj = self.current_trajectory() if traj is None else traj
+        with open(os.path.join(scene_memory_path, "training", str(traj),
+                               "poses.json")) as f:
             return json.load(f)["poses"]

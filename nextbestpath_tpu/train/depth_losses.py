@@ -89,8 +89,11 @@ def photometric_loss(target: jnp.ndarray, depth: jnp.ndarray,
 def regularity_tab(disp: jnp.ndarray, img: jnp.ndarray) -> jnp.ndarray:
     """Edge-aware disparity gradient map (depth_model_utils.py:522-563).
 
-    disp (H, W); img (H, W, 3). Returns (H-2, W-2) interior error map using
-    reflect-padded central differences like the reference's padded call.
+    disp (H, W); img (H, W, 3). Returns a FULL (H, W) error map: the
+    reflect-padded central differences cover every pixel (border gradients
+    are zero under reflect padding, so edge rows/cols contribute ~0 to the
+    means downstream). The reference's unpadded version returns the (H-2,
+    W-2) interior; same values on the interior, padded borders extra.
     """
     dpad = jnp.pad(disp, 1, mode="reflect")
     ipad = jnp.pad(img, ((1, 1), (1, 1), (0, 0)), mode="reflect")

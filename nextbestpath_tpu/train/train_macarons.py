@@ -7,16 +7,27 @@ TPU port of macarons/trainers/train_macarons.py — one online step per pose
    use_perfect_depth) -> backprojected partial pc -> surface store fill,
 2. proxy carving: fov mask, signed distances, view states, supervision occ,
 3. occupancy-field prediction with SconeOcc over proxy chunks (:313-317),
-4. greedy NBV over neighbor poses with SconeVis coverage gains (:319-345),
+4. greedy NBV over neighbor poses with SconeVis coverage gains (:319-345) —
+   gains are summed over the proxy points inside each candidate's FRUSTUM
+   (predict_coverage_gain_for_single_camera, macarons_utils.py:1909-2080),
+   which is what makes them depend on candidate orientation,
 5. move + capture interpolation frames (:366-372),
 6. losses (:389-545): photometric depth loss on the new frames, occupancy
    MSE vs carving pseudo-GT, coverage-gain loss (uncentered L1) vs the
    measured camera_coverage_gain,
-7. periodic surface recomputation (fill_surface_scene / recompute_mapping
-   analog: the voxel store is rebuilt from the full cloud, :1168-1173).
+7. when depth is PREDICTED (use_perfect_depth=False): periodic
+   recompute_mapping analog (:815-1035, every remap_every_n_poses) — the
+   frame history is re-inferred with the CURRENT depth weights and the
+   point cloud, voxel store, and proxy carving are rebuilt from scratch
+   (early garbage from the then-untrained depth net is purged); saved
+   memory depths are refreshed. Under perfect depth the rebuild would
+   reproduce the same state and is skipped.
 
 Replay loops (memory_loop/memory_scene_loop :582-812) replay saved frames
-through the same loss functions via sim.memory.Memory.
+through the same loss functions via sim.memory.Memory: scone replay
+rebuilds scenes from other trajectories' saved depths, and depth replay
+(memory_loop :582-607) re-trains ManyDepth photometrically on stored RGB
+frame windows of other trajectories.
 """
 
 from __future__ import annotations
@@ -33,7 +44,8 @@ import optax
 
 from ..assets.scene_assets import SceneAssets
 from ..config import Params, default_params
-from ..geometry.cameras import CameraIntrinsics
+from ..geometry.cameras import (CameraIntrinsics, camera_center,
+                                get_camera_RT, points_in_fov_mask)
 from ..models.harmonics import base_view_harmonics
 from ..models.macarons import Macarons
 from ..models.scone import coverage_gain
@@ -265,10 +277,18 @@ def train_macarons_online(
     ambient = float(p.get("ambient_light_intensity", 0.85))
     frame_hist: List[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]] = []
 
+    def _weighted_uncentered_l1(x, y, w, eps=1e-7):
+        """uncentered_l1 over the valid candidates only (w in {0,1});
+        padded candidate slots must not shift the normalizing means."""
+        wsum = jnp.maximum(jnp.sum(w), 1.0)
+        mx = jnp.sum(x * w) / wsum
+        my = jnp.sum(y * w) / wsum
+        return jnp.sum(jnp.abs(x / (mx + eps) - y / (my + eps)) * w) / wsum
+
     @jax.jit
     def scone_step(occ_vars, vis_vars, occ_opt, vis_opt, pc_tokens,
-                   proxy_pts, proxy_vh, sup_occ, cand_cams, measured_gain,
-                   rng):
+                   proxy_pts, proxy_vh, sup_occ, cand_cams, cand_fov,
+                   cand_w, measured_gain, rng):
         def loss_fn(ov, vv):
             occ_pred = occ_model.apply(ov, norm(pc_tokens)[None],
                                        norm(proxy_pts)[None], proxy_vh,
@@ -277,10 +297,14 @@ def train_macarons_online(
             tokens4 = jnp.concatenate([norm(proxy_pts), occ_pred[0]],
                                       axis=-1)[None]
             h = vis_model.apply(vv, tokens4, view_harmonics=proxy_vh)
+            # Same frustum masks as the NBV decision: identical candidate
+            # POSITIONS with different orientations get different predicted
+            # gains, so the supervision targets are fittable.
             pred_gain = coverage_gain(tokens4[..., :3], h,
-                                      norm(cand_cams)[None])
-            cov_loss = uncentered_l1(pred_gain[..., None],
-                                     measured_gain[None, :, None])
+                                      norm(cand_cams)[None],
+                                      fov_mask=cand_fov[None])
+            cov_loss = _weighted_uncentered_l1(pred_gain[0], measured_gain,
+                                               cand_w)
             return occ_loss + cov_loss, (occ_loss, cov_loss)
 
         (loss, (ol, cl)), grads = jax.value_and_grad(
@@ -394,13 +418,55 @@ def train_macarons_online(
             jnp.asarray(scene["supervision_occ"][pi]), next_key())
         return float(loss)
 
+    def run_depth_memory_replay(rng_py):
+        """memory_loop analog (train_macarons.py:582-607): a consecutive
+        4-frame RGB window from a NON-current trajectory re-trains ManyDepth
+        with the same photometric step as the online path (target = frame 2,
+        alphas [-1, -2, +1] = frames 1, 0, 3)."""
+        frames = memory.random_replay_frames(scene_memory_path, 4,
+                                             rng=rng_py)
+        if len(frames) < 4 or "rgb" not in frames[0]:
+            return None
+
+        def img(f):
+            return jnp.asarray(f["rgb"], jnp.float32) / 255.0
+
+        tgt, alphas = frames[2], (frames[1], frames[0], frames[3])
+        x_alpha = jnp.stack([img(f) for f in alphas])
+        R_a = jnp.stack([jnp.asarray(f["R"], jnp.float32).reshape(3, 3)
+                         for f in alphas])
+        T_a = jnp.stack([jnp.asarray(f["T"], jnp.float32).reshape(3)
+                         for f in alphas])
+        (state.model.depth_vars, state.depth_opt_state, photo,
+         _) = depth_step(
+            state.model.depth_vars, state.depth_opt_state, img(tgt),
+            jnp.asarray(tgt["R"], jnp.float32).reshape(3, 3),
+            jnp.asarray(tgt["T"], jnp.float32).reshape(3),
+            x_alpha, R_a, T_a, next_key())
+        return float(photo)
+
     mem_rng = _pyrandom.Random(seed + 17)
     frame_nb = 0
+    if memory is not None and scene_memory_path:
+        # Clear the reused slot's stale files (a previous occupant's longer
+        # trajectory would otherwise leak into frame counts and replay).
+        memory.begin_trajectory(scene_memory_path)
+    pose_history: List[List[float]] = []
+    # Host-side frame archive for the recompute_mapping analog (uint8 RGB
+    # to keep it small; only kept when depth is predicted).
+    all_frames: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    remap_every = int(p.get("remap_every_n_poses", 95))
 
     logs = {"coverage": [], "occ_loss": [], "cov_loss": [], "gain": [],
-            "depth_loss": [], "replay_occ_loss": [], "replay_cov_loss": []}
-    eps_cov = 2.0 * 0.05 * float(p.scene_scale_factor) * float(
-        p.surface_epsilon_factor)
+            "depth_loss": [], "replay_occ_loss": [], "replay_cov_loss": [],
+            "replay_depth_loss": []}
+    # Coverage epsilon tracks the stores' voxel resolution (testers/scene.py
+    # :544-545: eps = 2 * test_resolution * scale) — a hard-coded 0.05 here
+    # would silently decouple from surface stores built with an overridden
+    # surface_resolution.
+    eps_cov = (2.0 * float(p.get("surface_resolution", 0.05))
+               * float(p.scene_scale_factor)
+               * float(p.surface_epsilon_factor))
     curriculum_dists = curriculum_sampling_distances(
         max(n_poses, 2),
         float(3.0 * proxy.distance_between_points),
@@ -414,6 +480,7 @@ def train_macarons_online(
             print(f"macarons pose {pose_i}: coverage {cov:.4f}")
 
         cur_pose = pose5(cur)
+        pose_history.append([float(v) for v in np.asarray(cur_pose)])
         if need_rgb:
             rgb, zbuf, R, T = capture_rgbd(tri_soa, n_tris, cur_pose, intr,
                                            tri_colors=tri_colors,
@@ -421,6 +488,10 @@ def train_macarons_online(
             frame_hist.append((rgb, R, T))
             if len(frame_hist) > 4:
                 frame_hist.pop(0)
+            if not use_perfect_depth:
+                all_frames.append((
+                    (np.clip(np.asarray(rgb), 0, 1) * 255).astype(np.uint8),
+                    np.asarray(R), np.asarray(T)))
         else:
             zbuf, R, T = capture_depth(tri_soa, n_tris, cur_pose, intr)
 
@@ -468,6 +539,10 @@ def train_macarons_online(
                 rl = run_memory_replay(mem_rng)
                 if rl is not None:
                     logs["replay_occ_loss"].append(rl)
+                if learn_depth:
+                    dl_r = run_depth_memory_replay(mem_rng)
+                    if dl_r is not None:
+                        logs["replay_depth_loss"].append(dl_r)
 
         batch = backproject_sample(zbuf_used, R, T, intr, next_key(),
                                    int(p.points_per_frame),
@@ -482,16 +557,37 @@ def train_macarons_online(
         )
 
         # Candidate neighbors + greedy NBV using current vis model.
+        # Fixed C_MAX slots (4 neighbors x 5 rotations) with a validity
+        # mask: variable candidate counts would retrace the jitted
+        # scone_step per distinct count.
+        C_MAX = len(DIRS) * 5
         cands: List[Tuple[int, int, int]] = []
+        cand_valid = np.zeros((C_MAX,), np.float32)
+        slot = 0
         for d, (dl, dh) in enumerate(DIRS):
             nl, nh = cur[0] + dl, cur[1] + dh
-            if 0 <= nl < L and 0 <= nh < H and not blocked[d, cur[0], cur[1]]:
-                for rs in (-2, -1, 0, 1, 2):
+            ok = (0 <= nl < L and 0 <= nh < H
+                  and not blocked[d, cur[0], cur[1]])
+            for rs in (-2, -1, 0, 1, 2):
+                if ok:
                     cands.append((nl, nh, (cur[2] + rs) % n_azim))
-        if not cands:
-            cands = [(cur[0], cur[1],
-                      int(jax.random.randint(next_key(), (), 0, n_azim)))]
+                else:
+                    cands.append((cur[0], cur[1], cur[2]))
+                cand_valid[slot] = 1.0 if ok else 0.0
+                slot += 1
+        if not cand_valid.any():
+            # Dead end: rotate in place (testers keep a random rotation).
+            cands[0] = (cur[0], cur[1],
+                        int(jax.random.randint(next_key(), (), 0, n_azim)))
+            cand_valid[0] = 1.0
         cand_xyz = np.stack([positions[c[0], c[1]] for c in cands])
+        cand_pose = jnp.asarray(np.stack(
+            [np.asarray(pose5(c)) for c in cands]))
+        # Per-candidate frustum masks over the sampled proxy points: the
+        # reference sums visibility gains over the points in each
+        # candidate's FOV (x fov proxy volume), which is the only way the
+        # gain distinguishes the 5 rotations sharing one position.
+        R_c, T_c = get_camera_RT(cand_pose[:, :3], cand_pose[:, 3:5])
 
         # Proxy/pc token samples, curriculum-weighted: supervision
         # concentrates near the camera early in the trajectory and widens
@@ -515,13 +611,21 @@ def train_macarons_online(
         pc_tokens = pc.points[tidx]
 
         # NBV decision with the current model (4-dim x,y,z,occ tokens).
+        cand_fov = jax.vmap(
+            lambda Rc, Tc: points_in_fov_mask(
+                proxy_pts, Rc, Tc, intr,
+                fov_range=float(p.sensor_range))
+        )(R_c, T_c).astype(jnp.float32)
         h = vis_model.apply(
             state.model.vis_vars,
             jnp.concatenate([norm(proxy_pts), sup_occ], -1)[None],
             view_harmonics=vh)
         gains = coverage_gain(norm(proxy_pts)[None], h,
-                              norm(jnp.asarray(cand_xyz))[None])[0]
-        nxt = cands[int(jnp.argmax(gains))]
+                              norm(jnp.asarray(cand_xyz))[None],
+                              fov_mask=cand_fov[None])[0]
+        gains = jnp.where(jnp.asarray(cand_valid) > 0, gains, -jnp.inf)
+        chosen = int(jnp.argmax(gains))
+        nxt = cands[chosen]
 
         # Move + capture; measure the true coverage gain of the move.
         pc, traj, _ = move_and_capture(
@@ -541,18 +645,81 @@ def train_macarons_online(
         logs["gain"].append(float(gain))
 
         # Supervised step: measured gain distribution over candidates is a
-        # one-hot-ish proxy (the executed candidate's measured gain).
-        measured = jnp.full((len(cands),), 1e-3)
-        measured = measured.at[int(jnp.argmax(gains))].set(
+        # one-hot-ish proxy (the executed candidate's measured gain); padded
+        # candidate slots carry weight 0.
+        measured = jnp.full((C_MAX,), 1e-3)
+        measured = measured.at[chosen].set(
             jnp.maximum(gain / jnp.maximum(jnp.sum(new_batch.valid), 1), 1e-3))
         (state.model.occ_vars, state.model.vis_vars, state.occ_opt_state,
          state.vis_opt_state, ol, cl) = scone_step(
             state.model.occ_vars, state.model.vis_vars, state.occ_opt_state,
             state.vis_opt_state, pc_tokens, proxy_pts, vh, sup_occ,
-            jnp.asarray(cand_xyz), measured, next_key(),
+            jnp.asarray(cand_xyz), cand_fov, jnp.asarray(cand_valid),
+            measured, next_key(),
         )
         logs["occ_loss"].append(float(ol))
         logs["cov_loss"].append(float(cl))
+
+        if (not use_perfect_depth and remap_every > 0 and pose_i > 0
+                and pose_i % remap_every == 0 and len(all_frames) >= 3):
+            # recompute_mapping analog (macarons_utils.py:815-1035): re-run
+            # the CURRENT depth weights over the whole frame history and
+            # rebuild pc / voxel store / proxy carving from scratch,
+            # purging the garbage an earlier (less-trained) depth model
+            # backprojected. Frames 0-1 lack past context and are skipped
+            # (the reference reloads them with their stored neighbors).
+            surface = SurfaceStore.create(
+                262144, sx_min, sx_max,
+                float(p.get("surface_resolution", 0.05))
+                * float(p.scene_scale_factor))
+            pc = PointBuffer.create(int(p.full_pc_capacity))
+            P_n = proxy.points.shape[0]
+            proxy = proxy._replace(
+                proba=jnp.full((P_n, 1), 0.5),
+                supervision_occ=jnp.ones((P_n, 1)),
+                view_states=jnp.zeros_like(proxy.view_states),
+                n_inside_fov=jnp.zeros((P_n, 1)),
+                n_behind_depth=jnp.zeros((P_n, 1)),
+                out_of_field=jnp.ones((P_n, 1)),
+            )
+            for t in range(2, len(all_frames)):
+                rgb_t = jnp.asarray(all_frames[t][0], jnp.float32) / 255.0
+                R_t = jnp.asarray(all_frames[t][1])
+                T_t = jnp.asarray(all_frames[t][2])
+                x_a = jnp.stack([
+                    jnp.asarray(all_frames[t - 1][0], jnp.float32) / 255.0,
+                    jnp.asarray(all_frames[t - 2][0], jnp.float32) / 255.0])
+                R_a = jnp.stack([jnp.asarray(all_frames[t - 1][1]),
+                                 jnp.asarray(all_frames[t - 2][1])])
+                T_a = jnp.stack([jnp.asarray(all_frames[t - 1][2]),
+                                 jnp.asarray(all_frames[t - 2][2])])
+                z_t = depth_infer(state.model.depth_vars, rgb_t, R_t, T_t,
+                                  x_a, R_a, T_a)
+                b = backproject_sample(
+                    z_t, R_t, T_t, intr, next_key(),
+                    int(p.points_per_frame),
+                    gathering_factor=float(p.gathering_factor),
+                    sensor_range=float(p.sensor_range))
+                pc = pc.append(b)
+                surface = surface.fill(b.points, b.valid)
+                proxy = carve_with_frame(
+                    proxy, z_t, R_t, T_t, camera_center(R_t, T_t), intr,
+                    score_threshold=float(p.score_threshold),
+                    carving_tolerance=float(p.carving_tolerance),
+                    n_elev=n_elev_vs, n_azim=n_azim_vs,
+                )
+                if memory is not None and scene_memory_path:
+                    # Refresh the saved depths with the re-inferred maps
+                    # (recompute_mapping's save_depths tier).
+                    memory.save_depth(scene_memory_path,
+                                      memory.current_trajectory(), t,
+                                      np.asarray(z_t), np.asarray(R_t),
+                                      np.asarray(T_t))
+            if verbose:
+                print(f"macarons pose {pose_i}: recompute_mapping rebuilt "
+                      f"{len(all_frames) - 2} frames, "
+                      f"{int(pc.count)} points")
+
         cur = nxt
 
     if memory is not None and scene_memory_path:
@@ -566,6 +733,6 @@ def train_macarons_online(
             scene_memory_path, traj_slot, np.asarray(proxy.points),
             np.asarray(proxy.proba), np.asarray(proxy.supervision_occ),
             np.asarray(proxy.view_states), np.asarray(proxy.out_of_field))
-        memory.save_poses(scene_memory_path,
-                          [list(map(float, pose5(cur)))])
+        memory.save_poses(scene_memory_path, pose_history,
+                          traj=traj_slot)
     return logs

@@ -90,3 +90,40 @@ def test_scone_models_forward():
     g = coverage_gain(pts[..., :3], h, X_cam)
     assert g.shape == (1, 2)
     assert bool(jnp.all((g >= 0) & (g <= 1)))
+
+
+def test_coverage_gain_fov_mask_distinguishes_orientation():
+    """Candidates sharing one position but facing opposite directions must
+    get different gains when the frustum mask is applied (the reference
+    sums visibility over FOV proxy points; without the mask all rotations
+    tie and NBV degenerates to a fixed rotation offset)."""
+    import numpy as np
+
+    from nextbestpath_tpu.geometry import CameraIntrinsics, get_camera_RT
+    from nextbestpath_tpu.geometry.cameras import points_in_fov_mask
+    from nextbestpath_tpu.models.scone import coverage_gain
+
+    intr = CameraIntrinsics(image_height=16, image_width=24)
+    rng = np.random.default_rng(0)
+    # All points on the +z side of the camera at the origin.
+    pts = jnp.asarray(rng.uniform(-3, 3, (64, 3)).astype(np.float32)
+                      + np.array([0, 0, 10], np.float32))
+    harm = jnp.asarray(rng.normal(size=(1, 64, 64)).astype(np.float32))
+    eye = jnp.zeros((2, 3))
+    # Same position; azimuth 0 vs 180.
+    V = jnp.asarray([[0.0, 0.0], [0.0, 180.0]])
+    R, T = get_camera_RT(eye, V)
+    fov = jnp.stack([
+        points_in_fov_mask(pts, R[i], T[i], intr, fov_range=70.0)
+        for i in range(2)
+    ]).astype(jnp.float32)
+    # One orientation sees (almost) all points, the other none.
+    assert float(fov[0].sum()) != float(fov[1].sum())
+
+    gains = coverage_gain(pts[None], harm, jnp.zeros((1, 2, 3)),
+                          fov_mask=fov[None])
+    g_plain = coverage_gain(pts[None], harm, jnp.zeros((1, 2, 3)))
+    # Unmasked gains tie across orientations (same position)...
+    assert abs(float(g_plain[0, 0] - g_plain[0, 1])) < 1e-6
+    # ...masked gains do not.
+    assert abs(float(gains[0, 0] - gains[0, 1])) > 1e-4

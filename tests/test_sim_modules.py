@@ -232,3 +232,52 @@ def test_move_and_capture_stratified_jit():
     pts = np.asarray(pc.points)[np.asarray(pc.valid_mask())]
     # Every stratified-sampled point lies on the wall plane.
     np.testing.assert_allclose(np.abs(pts[:, 2]), 5.0, atol=1e-3)
+
+
+def test_memory_slot_reuse_and_ordered_replay(tmp_path):
+    """begin_trajectory clears a reused slot's stale files (a shorter new
+    trajectory must not inherit the previous occupant's tail), and
+    get_random_scene_for_scone_model replays base frames in trajectory
+    order with the LATEST frames held out as replay cameras."""
+    from nextbestpath_tpu.sim.memory import Memory
+
+    scene_dir = str(tmp_path / "scene")
+    mem = Memory([scene_dir], n_trajectories=2, current_epoch=0)
+    intr = CameraIntrinsics(image_height=8, image_width=12)
+    rng_np = np.random.default_rng(0)
+
+    def write_traj(traj, n, depth_val):
+        for i in range(n):
+            depth = np.full((8, 12), depth_val, np.float32)
+            mem.save_depth(scene_dir, traj, i, depth, np.eye(3),
+                           np.asarray([0.0, 0.0, float(i)]))
+        mem.save_occupancy(scene_dir, traj,
+                           rng_np.uniform(-1, 1, (32, 3)),
+                           np.full((32, 1), 0.5), np.ones((32, 1)),
+                           np.zeros((32, 98)), np.ones((32, 1)))
+
+    # Epoch 0 writes 12 depths into slot 0.
+    write_traj(0, 12, 5.0)
+    assert mem.n_depths(scene_dir, 0) == 12
+    # Epoch 2 reuses slot 0 with a SHORTER trajectory: stale tail cleared.
+    mem.current_epoch = 2
+    assert mem.begin_trajectory(scene_dir) == 0
+    assert mem.n_depths(scene_dir, 0) == 0
+    write_traj(0, 5, 5.0)
+    assert mem.n_depths(scene_dir, 0) == 5
+
+    # Replay from the non-current slot: write slot 1, make slot 0 current.
+    mem.current_epoch = 0
+    mem.begin_trajectory(scene_dir)
+    write_traj(0, 5, 5.0)
+    mem.current_epoch = 1  # current = slot 1; replay serves slot 0
+    scene = mem.get_random_scene_for_scone_model(
+        scene_dir, intr, n_frames=4, points_per_frame=16,
+        rng=__import__("random").Random(3), sensor_range=70.0,
+        n_replay_poses=1)
+    assert scene is not None
+    # Held-out replay camera is the LATEST of the sampled window: its T_z
+    # (frame index) exceeds every base camera's.
+    base_z = scene["base_clouds"].shape  # (3, 16, 3)
+    assert base_z == (3, 16, 3)
+    assert scene["replay_cams"].shape == (1, 3)

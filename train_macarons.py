@@ -90,6 +90,9 @@ def main():
                     f" ({len(logs['replay_occ_loss'])} steps)")
         if logs["replay_cov_loss"]:
             msg += f" replay cov {logs['replay_cov_loss'][-1]:.4f}"
+        if logs.get("replay_depth_loss"):
+            msg += (f" replay depth {logs['replay_depth_loss'][-1]:.4f}"
+                    f" ({len(logs['replay_depth_loss'])} steps)")
         print(msg, flush=True)
     save_checkpoint(os.path.join(args.out, "scone_occ.ckpt"),
                     state.model.occ_vars)
