@@ -17,6 +17,7 @@ reference's per-neighbor Python loop.
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import List, Optional, Tuple
 
@@ -26,7 +27,7 @@ import numpy as np
 
 from ..assets.scene_assets import SceneAssets
 from ..config import Params, default_params
-from ..geometry.cameras import CameraIntrinsics
+from ..geometry.cameras import CameraIntrinsics, get_camera_RT
 from ..models.harmonics import base_view_harmonics
 from ..models.scone import SconeOcc, SconeVis
 from ..ops.coverage import compute_auc, coverage_percentage
@@ -36,17 +37,28 @@ from ..planning.grid_paths import DIRS
 from ..sim.coverage_gain import predict_coverage_gain
 from ..sim.proxy import ProxyField, carve_with_frame
 from ..sim.rollout import TrajectoryBuffer, move_and_capture
-from ..sim.sensor import PointBuffer, capture_depth
+from ..sim.sensor import PointBuffer
 from ..sim.tables import build_scene_tables
 from .nbp_planning import RolloutResult
 
 
-def _sample_tokens(key, points, valid, n_tokens):
-    """Random n_tokens valid points (with replacement on the valid prefix)."""
+@functools.partial(jax.jit, static_argnames=("scone_occ",))
+def _occ_forward(scone_occ, variables, pc_tokens, proxy_pts, vh, key):
+    """Jitted SconeOcc forward (eager flax apply dispatches op-by-op —
+    catastrophic over the remote-TPU tunnel at 100 calls per rollout)."""
+    return scone_occ.apply(variables, pc_tokens, proxy_pts, vh, key=key)
+
+
+@functools.partial(jax.jit, static_argnames=("n_tokens",))
+def _sample_tokens(key, points, valid, n_tokens: int = 1024):
+    """Random n_tokens valid points (with replacement on the valid prefix).
+
+    PointBuffer.append compacts valid points to the front, so the valid
+    rows ARE the prefix — no permutation needed (a full-capacity argsort
+    here would cost O(C log C) on a 2M-slot buffer every pose)."""
     count = jnp.maximum(jnp.sum(valid), 1)
     idx = jax.random.randint(key, (n_tokens,), 0, count)
-    order = jnp.argsort(~valid, stable=True)
-    return points[order][idx]
+    return points[idx]
 
 
 def macarons_nbv_rollout(
@@ -123,7 +135,13 @@ def macarons_nbv_rollout(
             print(f"nbv pose {pose_i}: coverage {cov:.4f}")
 
         cur_pose = pose5(cur)
-        zbuf, R, T = capture_depth(tri_soa, n_tris, cur_pose, intr)
+        # The last move's final substep rendered exactly this pose
+        # (interpolate_pose returns new_pose5 at the final step), so the
+        # returned last_zbuf IS the current frame — only R, T (pure camera
+        # math) need recomputing, saving one full render per pose.
+        R, T = get_camera_RT(cur_pose[None, :3], cur_pose[None, 3:])
+        R, T = R[0], T[0]
+        zbuf = last_zbuf
         proxy = carve_with_frame(
             proxy, zbuf, R, T, cur_pose[:3], intr,
             score_threshold=float(p.score_threshold),
@@ -143,9 +161,8 @@ def macarons_nbv_rollout(
             proxy.view_states[None, vs_idx], base_h, h_polar,
             n_elev_vs, n_azim_vs,
         )
-        occ = scone_occ.apply(occ_variables, norm(pc_tokens)[None],
-                              norm(proxy.points[vs_idx])[None], vh,
-                              key=next_key())
+        occ = _occ_forward(scone_occ, occ_variables, norm(pc_tokens)[None],
+                           norm(proxy.points[vs_idx])[None], vh, next_key())
 
         # Write predicted occupancy back to the proxy field (proxy_proba
         # update, train_macarons.py:313-317) for the sampled tokens.
@@ -154,17 +171,33 @@ def macarons_nbv_rollout(
 
         # Candidate neighbors: unit moves (4 dirs) x nearby azimuths
         # (get_neighboring_poses_2d removes zero-translation neighbors,
-        # macarons_utils.py:2447-2471).
+        # macarons_utils.py:2447-2471). Fixed 4x5 slots + validity mask so
+        # the jitted gain prediction compiles once, and the (C, 5) pose
+        # batch is assembled in host numpy (per-candidate jnp round-trips
+        # would sync the device ~20x per pose).
+        C_MAX = len(DIRS) * 5
         cands: List[Tuple[int, int, int]] = []
+        cand_valid = np.zeros((C_MAX,), bool)
+        slot = 0
         for d, (dl, dh) in enumerate(DIRS):
             nl, nh = cur[0] + dl, cur[1] + dh
-            if 0 <= nl < L and 0 <= nh < H and not blocked[d, cur[0], cur[1]]:
-                for rot_shift in (-2, -1, 0, 1, 2):
-                    cands.append((nl, nh, (cur[2] + rot_shift) % n_azim))
-        if not cands:
-            cands = [(cur[0], cur[1], int(jax.random.randint(next_key(), (),
-                                                             0, n_azim)))]
-        cand_pose5 = jnp.asarray(np.stack([np.asarray(pose5(c)) for c in cands]))
+            ok = (0 <= nl < L and 0 <= nh < H
+                  and not blocked[d, cur[0], cur[1]])
+            for rot_shift in (-2, -1, 0, 1, 2):
+                cands.append((nl, nh, (cur[2] + rot_shift) % n_azim) if ok
+                             else (cur[0], cur[1], cur[2]))
+                cand_valid[slot] = ok
+                slot += 1
+        if not cand_valid.any():
+            cands[0] = (cur[0], cur[1], int(jax.random.randint(next_key(), (),
+                                                               0, n_azim)))
+            cand_valid[0] = True
+        elev2 = float(assets.elevations_deg[2])
+        cand_pose5 = jnp.asarray(np.stack([
+            np.concatenate([positions[c[0], c[1]],
+                            [elev2, assets.azimuths_deg[c[2]]]])
+            for c in cands
+        ]).astype(np.float32))
         # Fov-filtered, occupancy-weighted coverage-gain prediction
         # (predict_coverage_gain_for_single_camera semantics).
         gains = predict_coverage_gain(
@@ -177,6 +210,7 @@ def macarons_nbv_rollout(
             seq_len=min(int(p.seq_len), 1024),
             min_occ=float(p.get("min_occ_for_proxy_points", 0.1)),
         )
+        gains = jnp.where(jnp.asarray(cand_valid), gains, -jnp.inf)
         best = int(jnp.argmax(gains))
         nxt = cands[best]
 

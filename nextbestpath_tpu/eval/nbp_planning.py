@@ -251,10 +251,14 @@ class NBPPlanningRollout:
                                                     EDGE_COLLISION)
                         banned = banned.at[path[-1][0], path[-1][1]].set(True)
                         regen = True
-            # Passable memo from the last two visited nodes
-            # (nbp_planning.py:149-155).
-            if len(idx_history) >= 2:
-                a, b = idx_history[-1], idx_history[-2]
+            # Passable memo for the edge JUST traversed: cur vs the previous
+            # loop-start pose (nbp_planning.py:149-155; scan_rollout.py
+            # memoizes the same pair). Using idx_history[-1]/[-2] here would
+            # lag one move behind and never mark the newest edge, so the
+            # planner couldn't route back through a layout-blocked but
+            # actually-walkable edge at the very next replan.
+            if idx_history:
+                a, b = cur, idx_history[-1]
                 d_idx = self._edge_dir(a, b)
                 if d_idx is not None:
                     edge_memo = self._memo_edge(edge_memo, a, b, EDGE_PASSABLE)
@@ -272,14 +276,10 @@ class NBPPlanningRollout:
                     value_map_size=int(p.value_map_size[0]),
                     layout_size=int(p.pc2img_size[0]),
                 )
-                path, path_record = self._plan(
+                path, path_record, edge_memo = self._plan(
                     scores, layout, cur_pose5, cur, edge_memo, banned,
                     value_map[0], visited_rot, gt_eb,
                 )
-                # On a first-segment GT collision _plan updates the memos via
-                # its return closure state; see _plan.
-                edge_memo = self._pending_memo
-                banned = self._pending_banned
             else:
                 value_map, _ = self._forward(self.variables, model_input)
 
@@ -346,7 +346,11 @@ class NBPPlanningRollout:
 
     def _plan(self, scores, layout, cur_pose5, cur, edge_memo, banned,
               value_map, visited_rot, gt_eb, max_retries: int = 8):
-        """Field -> goal -> path -> first-segment GT check -> retry loop."""
+        """Field -> goal -> path -> first-segment GT check -> retry loop.
+
+        Returns (path, path_record, edge_memo): the memo updated with any
+        first-segment collisions found during the retries (banned is never
+        modified here)."""
         p = self.params
         layout_blocked = layout_edge_blocked(
             self.tables.positions, cur_pose5[:3], layout, self.L, self.H,
@@ -358,9 +362,7 @@ class NBPPlanningRollout:
                                       self.L, self.H)
             goal, found = select_goal(scores, dist, self.L, self.H)
             if not bool(found):
-                self._pending_memo = edge_memo
-                self._pending_banned = banned
-                return [], 0
+                return [], 0, edge_memo
             path_arr, path_len, reachable = extract_path(
                 dist, blocked, goal, self.L, self.H,
                 max_len=int(p.max_path_len),
@@ -379,9 +381,7 @@ class NBPPlanningRollout:
                 for i in range(n)
             ]
             if not path:
-                self._pending_memo = edge_memo
-                self._pending_banned = banned
-                return [], 0
+                return [], 0, edge_memo
             # First-segment ground-truth collision check
             # (nbp_planning.py:240-249).
             first = path[0]
@@ -390,12 +390,8 @@ class NBPPlanningRollout:
                 edge_memo = self._memo_edge(edge_memo, cur, first,
                                             EDGE_COLLISION)
                 continue
-            self._pending_memo = edge_memo
-            self._pending_banned = banned
-            return path, 0
-        self._pending_memo = edge_memo
-        self._pending_banned = banned
-        return [], 0
+            return path, 0, edge_memo
+        return [], 0, edge_memo
 
 
 def test_nbp_planning(assets_list, nbp_model, nbp_variables,

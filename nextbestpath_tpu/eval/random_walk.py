@@ -54,7 +54,11 @@ class ScanRandomWalk:
     def __init__(self, assets_list, params: Optional[Params] = None,
                  interpret: Optional[bool] = None):
         assert assets_list
-        shapes = {(a.pose_l, a.pose_h, a.n_azim) for a in assets_list}
+        # Elevation is baked into the shared compiled program (_pose5 uses
+        # scene 0's), so it must match across scenes — a silent mismatch
+        # would render other scenes at the wrong camera pitch.
+        shapes = {(a.pose_l, a.pose_h, a.n_azim,
+                   float(a.elevations_deg[2])) for a in assets_list}
         assert len(shapes) == 1, f"pad scenes to a common lattice first ({shapes})"
         self.p = params or default_params()
         p = self.p
@@ -116,6 +120,10 @@ class ScanRandomWalk:
         return RWState(pc=pc, traj=traj, cur=nxt, key=key), cov
 
     def _rollout_fn(self, n_poses: int):
+        # The cached closure captures self via self._step, pinning the FIRST
+        # instance per signature for the process lifetime (bounded: one
+        # instance per distinct config, reused by later same-sig instances
+        # because the step depends only on _sig fields).
         sig = self._sig() + (n_poses,)
         if sig not in _RW_PROGRAM_CACHE:
             step = self._step
@@ -170,6 +178,8 @@ class ScanRandomWalk:
                     final.traj.xyz[i][: int(final.traj.count[i])]),
                 wall_time_s=wall,
                 n_points=int(final.pc.count[i]),
+                # Fleet-aggregate rate (matches BatchedScanRollout's
+                # convention): total poses across ALL scenes per second.
                 steps_per_sec=self.n_scenes * n_poses / wall,
             )
             for i in range(self.n_scenes)

@@ -15,6 +15,7 @@ the occupancy-weighted categorical sample.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -45,6 +46,11 @@ def sample_proxy_points(key: jax.Array, points: jnp.ndarray,
     return idx
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("scone_vis", "intr", "sensor_range", "seq_len",
+                     "min_occ", "use_occ_to_sample"),
+)
 def predict_coverage_gain(
     key: jax.Array,
     scone_vis, vis_variables,
