@@ -147,6 +147,7 @@ def macarons_nbv_rollout(
             score_threshold=float(p.score_threshold),
             carving_tolerance=float(p.carving_tolerance),
             n_elev=n_elev_vs, n_azim=n_azim_vs,
+            sensor_range=float(p.sensor_range),
         )
 
         # Occupancy prediction on a proxy-token sample.

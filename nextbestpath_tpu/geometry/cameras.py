@@ -74,12 +74,21 @@ def look_at_rotation(eye: jnp.ndarray, at: jnp.ndarray, up=(0.0, 1.0, 0.0)):
         return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
 
     z_axis = _norm(at - eye)
-    x_axis = jnp.cross(up, z_axis)
-    # Degenerate case (looking straight up/down): PyTorch3D substitutes +x.
-    x_norm = jnp.linalg.norm(x_axis, axis=-1, keepdims=True)
-    fallback = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], jnp.float32), eye.shape)
-    x_axis = jnp.where(x_norm < 5e-3, fallback, x_axis / jnp.maximum(x_norm, 1e-12))
+    # Exact PyTorch3D semantics (renderer/cameras.py look_at_rotation):
+    # F.normalize(cross, eps=1e-5), then substitute only when the
+    # NORMALIZED x has all components < 5e-3 — i.e. only when up is
+    # essentially parallel to z (||cross|| < ~1e-7). A check on the
+    # unnormalized cross norm would fire within ~0.3 deg of vertical and
+    # snap the camera roll discontinuously. y is computed BEFORE the
+    # substitution and not recomputed, matching the reference; the
+    # replacement is normalize(cross(y, z)).
+    x_raw = jnp.cross(up, z_axis)
+    x_axis = x_raw / jnp.maximum(
+        jnp.linalg.norm(x_raw, axis=-1, keepdims=True), 1e-5)
     y_axis = _norm(jnp.cross(z_axis, x_axis))
+    is_close = jnp.all(jnp.abs(x_axis) < 5e-3, axis=-1, keepdims=True)
+    replacement = _norm(jnp.cross(y_axis, z_axis))
+    x_axis = jnp.where(is_close, replacement, x_axis)
     # Stack as rows then transpose -> columns are axes.
     return jnp.stack([x_axis, y_axis, z_axis], axis=-2).swapaxes(-1, -2)
 
@@ -168,7 +177,7 @@ def unproject_depth(depth: jnp.ndarray, R: jnp.ndarray, T: jnp.ndarray,
 
     Exact analog of Camera.project_depth_in_3D (macarons_utils.py:2788-2809).
     """
-    eye = _mat3(-T, R.T)
+    eye = camera_center(R, T)
     d_view = intr.pixel_ray_dirs_view()  # (H, W, 3), z-component 1
     d_world = _mat3(d_view.reshape(-1, 3), R.T)
     return eye[None, :] + depth.reshape(-1, 1) * d_world
@@ -195,7 +204,7 @@ def points_in_fov_mask(points: jnp.ndarray, R: jnp.ndarray, T: jnp.ndarray,
     )
     if fov_range is not None:
         if eye is None:
-            eye = _mat3(-T, R.T)
+            eye = camera_center(R, T)
         mask = mask & (jnp.linalg.norm(points - eye, axis=-1) < fov_range)
     return mask
 

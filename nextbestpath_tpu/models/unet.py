@@ -13,7 +13,9 @@ Exact topology of the reference model (next_best_path/networks/nbp_model.py):
 * homoscedastic-uncertainty two-task loss combining pixel MSE and layout BCE
   with learned log-variances (:108,162-173).
 
-BatchNorm keeps the reference's semantics (running stats; batch 56 train /
+BatchNorm keeps the reference's semantics (running stats with torch's
+update rate: torch BatchNorm2d momentum 0.1 == flax momentum 0.9, since
+flax computes ra = m*ra + (1-m)*batch; batch 56 train /
 batch 1 eval). Under data parallelism use `axis_name` so BN reduces across
 replicas (the SyncBatchNorm analog, macarons_utils.py:484-489).
 
@@ -72,7 +74,8 @@ class ConvBlock(nn.Module):
             x = TorchConv(self.features, dtype=self.dtype)(x)
             if not self.fold_bn:
                 x = nn.BatchNorm(use_running_average=not train,
-                                 axis_name=self.axis_name, dtype=jnp.float32)(x)
+                                 momentum=0.9, axis_name=self.axis_name,
+                                 dtype=jnp.float32)(x)
             x = nn.relu(x)
         return x
 
@@ -92,7 +95,8 @@ class UpConv(nn.Module):
         x = TorchConv(self.features, dtype=self.dtype)(x)
         if not self.fold_bn:
             x = nn.BatchNorm(use_running_average=not train,
-                             axis_name=self.axis_name, dtype=jnp.float32)(x)
+                             momentum=0.9, axis_name=self.axis_name,
+                             dtype=jnp.float32)(x)
         return nn.relu(x)
 
 
@@ -110,7 +114,8 @@ class AttentionGate(nn.Module):
             if self.fold_bn:
                 return h
             return nn.BatchNorm(use_running_average=not train,
-                                axis_name=self.axis_name, dtype=jnp.float32)(h)
+                                momentum=0.9, axis_name=self.axis_name,
+                                dtype=jnp.float32)(h)
 
         g1 = bn(TorchConv(self.f_int, (1, 1), dtype=self.dtype)(g))
         x1 = bn(TorchConv(self.f_int, (1, 1), dtype=self.dtype)(x))

@@ -275,7 +275,9 @@ def ray_hits_full(origins: jnp.ndarray, dirs: jnp.ndarray,
         jnp.asarray(n_tris, jnp.int32),
         jnp.float32(t_min), jnp.float32(t_max), interpret,
     )
-    return t, cnt, jnp.where(t < _INF, idx, -1)
+    # The kernel already returns idx == -1 for no-hit rays (best_idx is
+    # initialized to -1 and only written on t_min_c < t_best).
+    return t, cnt, idx
 
 
 # ---------------------------------------------------------------------------

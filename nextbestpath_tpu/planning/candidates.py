@@ -68,6 +68,12 @@ def score_candidates_test(
     sel = proj256[pix256[..., 0], pix256[..., 1]]
     near_obs = region_has_observation(proj256)[pix256[..., 0], pix256[..., 1]]
 
+    # Documented deviation: the reference bounds-checks only the 64-map
+    # pixel and lets torch's negative-index WRAPAROUND score candidates
+    # whose 256-map pixel is -1/-2 (rows 254/255) — an accident of indexing
+    # near the -40 grid edge (nbp_planning.py:213-224). We require the
+    # 256-map pixel in bounds instead, so those edge candidates are
+    # inadmissible rather than scored against the wrong side of the grid.
     ok = in64 & in256 & near_obs & (~banned_positions)
     return jnp.where(ok, value - 10.0 * sel, NEG)
 

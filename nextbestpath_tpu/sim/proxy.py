@@ -60,19 +60,26 @@ class ProxyField(NamedTuple):
         )
 
 
-@functools.partial(jax.jit, static_argnames=("intr", "n_elev", "n_azim"))
+@functools.partial(jax.jit, static_argnames=("intr", "n_elev", "n_azim",
+                                              "sensor_range"))
 def carve_with_frame(field: ProxyField, zbuf: jnp.ndarray, R: jnp.ndarray,
                      T: jnp.ndarray, X_cam: jnp.ndarray,
                      intr: CameraIntrinsics, score_threshold: float = 0.95,
                      carving_tolerance: float = 10.0,
-                     n_elev: int = 7, n_azim: int = 14) -> ProxyField:
+                     n_elev: int = 7, n_azim: int = 14,
+                     sensor_range: float = 70.0) -> ProxyField:
     """One frame's carving + view-state + out-of-field update.
 
     Mirrors the per-pose proxy update block (train_macarons.py:283-306):
-    fov mask, signed distances to the depth map, supervision-occ counting
-    with tolerance, view-state update for near-surface points.
+    fov mask (range-limited to sensor_range like the reference's
+    get_points_in_fov(fov_range=params.sensor_range) at :286 — frustum
+    points beyond the sensor must stay untouched, not get carved against
+    the 1.1*zfar background), signed distances to the depth map,
+    supervision-occ counting with tolerance, view-state update for
+    near-surface points.
     """
-    fov_mask = points_in_fov_mask(field.points, R, T, intr)
+    fov_mask = points_in_fov_mask(field.points, R, T, intr,
+                                  fov_range=sensor_range)
     sgn = signed_distance_to_depth(field.points, zbuf, R, T, intr)
 
     m = fov_mask[:, None]
@@ -103,7 +110,9 @@ def carve_with_frame(field: ProxyField, zbuf: jnp.ndarray, R: jnp.ndarray,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("n_interpolation_steps",))
+@functools.partial(jax.jit, static_argnames=("n_interpolation_steps",
+                                              "oof_collides",
+                                              "collision_n_threshold"))
 def camera_collides(field: ProxyField, x_from: jnp.ndarray, x_to: jnp.ndarray,
                     x_min: jnp.ndarray, x_max: jnp.ndarray,
                     oof_collides: bool = False,

@@ -55,10 +55,15 @@ class SurfaceStore(NamedTuple):
     def fill(self, pts: jnp.ndarray, valid: jnp.ndarray) -> "SurfaceStore":
         """Insert points whose voxel is still free (one point per voxel)."""
         vid = self.voxel_id(pts)
+        n_vox = self.occupied.shape[0]
         free = ~self.occupied[vid]
-        # Dedup within the batch: first point per voxel wins.
-        order = jnp.argsort(vid)
-        vs = vid[order]
+        # Dedup within the batch: first VALID point per voxel wins. Invalid
+        # slots hold real (stale) world coordinates, so ranking them too
+        # would let an invalid point suppress a valid one sharing its voxel
+        # — sort invalid entries behind a sentinel id instead.
+        sort_key = jnp.where(valid, vid, n_vox)
+        order = jnp.argsort(sort_key)
+        vs = sort_key[order]
         first = jnp.concatenate(
             [jnp.ones((1,), bool), vs[1:] != vs[:-1]]
         )
@@ -68,12 +73,18 @@ class SurfaceStore(NamedTuple):
         n_new = jnp.sum(ok)
         comp = jnp.argsort(~ok, stable=True)
         pts_c = pts[comp]
+        vid_c = vid[comp]
         ok_c = jnp.arange(pts.shape[0]) < n_new
         cap = self.points.shape[0]
         slots = self.count + jnp.arange(pts.shape[0])
-        slots = jnp.where(ok_c & (slots < cap), slots, cap)
+        stored = ok_c & (slots < cap)
+        slots = jnp.where(stored, slots, cap)
         new_points = self.points.at[slots].set(pts_c, mode="drop")
-        occupied = self.occupied.at[jnp.where(ok, vid, self.occupied.shape[0])
+        # A voxel is occupied only when its point was actually STORED:
+        # marking capacity-dropped points would permanently block their
+        # voxels with no representative, silently understating coverage
+        # for everything observed after the store saturates.
+        occupied = self.occupied.at[jnp.where(stored, vid_c, n_vox)
                                     ].set(True, mode="drop")
         return self._replace(
             points=new_points,
@@ -109,19 +120,44 @@ def _min_dists_chunked(a: jnp.ndarray, b: jnp.ndarray, b_valid: jnp.ndarray,
     return jnp.sqrt(jnp.maximum(best, 0.0))
 
 
+def _coarse_cell_id(store: SurfaceStore, pts: jnp.ndarray,
+                    cell_factor: int) -> jnp.ndarray:
+    """Coarse cell ids (cell side = cell_factor voxels) for the englobing-
+    cell restriction; ids stay < n_vox so the (static-size) voxel bitmap
+    can host the cell marks."""
+    cd = (store.dims + cell_factor - 1) // cell_factor
+    ijk = ((pts - store.x_min) * store.inv_res).astype(jnp.int32)
+    ijk = jnp.clip(ijk // cell_factor, 0, cd - 1)
+    return (ijk[:, 0] * cd[1] + ijk[:, 1]) * cd[2] + ijk[:, 2]
+
+
 def camera_coverage_gain(store: SurfaceStore, part_pc: jnp.ndarray,
                          part_valid: jnp.ndarray,
-                         epsilon: float) -> Tuple[jnp.ndarray, SurfaceStore]:
+                         epsilon: float,
+                         cell_factor: int = 8
+                         ) -> Tuple[jnp.ndarray, SurfaceStore]:
     """Number of newly covered surface points within epsilon of part_pc, and
     the store with its covered flags updated (camera_coverage_gain,
-    macarons_utils.py:3468-3510)."""
+    macarons_utils.py:3468-3510).
+
+    Like the reference (:3521-3535), a surface point is only scored when
+    its ENGLOBING cell contains at least one part_pc point — otherwise
+    points near cell borders would be counted that the reference skips,
+    inflating the NBV reward. Cell side here = cell_factor voxels
+    (documented delta: the reference's Scene cells come from the per-scene
+    grid dims rather than a fixed multiple of the dedup resolution)."""
     cap = store.points.shape[0]
     pad = ((part_pc.shape[0] + 2047) // 2048) * 2048 - part_pc.shape[0]
     if pad:
         part_pc = jnp.pad(part_pc, ((0, pad), (0, 0)))
         part_valid = jnp.pad(part_valid, (0, pad))
     d = _min_dists_chunked(store.points, part_pc, part_valid)
-    near = (d < epsilon) & store.valid_mask()
+    n_vox = store.occupied.shape[0]
+    part_cells = _coarse_cell_id(store, part_pc, cell_factor)
+    cell_hit = jnp.zeros((n_vox,), bool).at[
+        jnp.where(part_valid, part_cells, n_vox)].set(True, mode="drop")
+    store_cells = _coarse_cell_id(store, store.points, cell_factor)
+    near = (d < epsilon) & store.valid_mask() & cell_hit[store_cells]
     gain = jnp.sum(near & (store.covered < 0.5))
     covered = jnp.where(near, 1.0, store.covered)
     return gain.astype(jnp.float32), store._replace(covered=covered)
@@ -129,14 +165,23 @@ def camera_coverage_gain(store: SurfaceStore, part_pc: jnp.ndarray,
 
 def scene_coverage(gt_points: jnp.ndarray, gt_cells: jnp.ndarray,
                    rec_points: jnp.ndarray, rec_cells: jnp.ndarray,
-                   rec_valid: jnp.ndarray, epsilon: float) -> jnp.ndarray:
+                   rec_valid: jnp.ndarray, epsilon: float,
+                   gt_valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Cell-restricted coverage (scene_coverage, macarons_utils.py:3512-3539):
     a GT point counts as covered iff a reconstructed point in the SAME grid
     cell lies within epsilon (the reference never compares across cells).
 
-    gt_cells / rec_cells: integer cell ids per point.
+    gt_cells / rec_cells: integer cell ids per point. Pass gt_valid when the
+    GT cloud carries sentinel padding rows — like ops/coverage.
+    masked_min_dists, the centering mean must exclude them or the bf16
+    matmul loses the epsilon threshold.
     """
-    center = jnp.mean(gt_points, axis=0)
+    if gt_valid is None:
+        center = jnp.mean(gt_points, axis=0)
+    else:
+        w = gt_valid.astype(gt_points.dtype)[:, None]
+        center = jnp.sum(gt_points * w, axis=0) / jnp.maximum(
+            jnp.sum(w), 1.0)
     g = gt_points - center
     r = rec_points - center
     g2 = jnp.sum(g * g, axis=-1)
@@ -164,4 +209,7 @@ def scene_coverage(gt_points: jnp.ndarray, gt_cells: jnp.ndarray,
          rec_cells.reshape(n_chunks, chunk), rec_valid.reshape(n_chunks, chunk)),
     )
     covered = jnp.sqrt(jnp.maximum(best, 0.0)) < epsilon
+    if gt_valid is not None:
+        return jnp.sum(covered & gt_valid) / jnp.maximum(
+            jnp.sum(gt_valid), 1).astype(jnp.float32)
     return jnp.mean(covered.astype(jnp.float32))

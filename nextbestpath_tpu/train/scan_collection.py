@@ -46,7 +46,7 @@ from ..assets.scene_assets import SceneAssets
 from ..config import Params, default_params
 from ..geometry.cameras import CameraIntrinsics
 from ..ops.coverage import coverage_percentage
-from ..ops.obstacle_map import gt_obstacle_map
+from ..ops.obstacle_map import gt_obstacle_map_soa
 from ..planning.candidates import NEG, score_candidates_train
 from ..planning.grid_paths import (
     INF,
@@ -221,9 +221,10 @@ class ScanCollection:
             pc, state.traj, cur_pose5[:3], scene.y_bins,
             n_pieces=int(p.n_pieces), img_size=int(p.pc2img_size[0]),
         )
-        gt_obs = gt_obstacle_map(soa_to_tris(scene.tri_soa), scene.n_tris,
-                                 cur_pose5, grid_size=int(p.pc2img_size[0]),
-                                 grid_range=tuple(p.prediction_range))
+        gt_obs = gt_obstacle_map_soa(scene.tri_soa, scene.n_tris,
+                                     cur_pose5,
+                                     grid_size=int(p.pc2img_size[0]),
+                                     grid_range=tuple(p.prediction_range))
 
         regen = state.path_record >= state.path_len
 

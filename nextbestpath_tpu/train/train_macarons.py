@@ -554,6 +554,7 @@ def train_macarons_online(
             score_threshold=float(p.score_threshold),
             carving_tolerance=float(p.carving_tolerance),
             n_elev=n_elev_vs, n_azim=n_azim_vs,
+            sensor_range=float(p.sensor_range),
         )
 
         # Candidate neighbors + greedy NBV using current vis model.
@@ -707,6 +708,7 @@ def train_macarons_online(
                     score_threshold=float(p.score_threshold),
                     carving_tolerance=float(p.carving_tolerance),
                     n_elev=n_elev_vs, n_azim=n_azim_vs,
+                    sensor_range=float(p.sensor_range),
                 )
                 if memory is not None and scene_memory_path:
                     # Refresh the saved depths with the re-inferred maps

@@ -209,3 +209,45 @@ def test_coverage_padded_gt_matches_unpadded():
     cov_pad = float(coverage_percentage(gt_pad, buf, jnp.int32(1140), key,
                                         gt_valid=gt_valid))
     assert abs(cov_pad - cov_ref) < 5e-3, (cov_pad, cov_ref)
+
+
+def test_rasterize_long_segment_solid_after_clip():
+    """Regression: a wall chord far longer than the visible window must
+    still draw a SOLID line inside the window. Without Liang-Barsky
+    clipping, the MAX_STEPS budget was spread over the full off-screen
+    extent, leaving >= 2 px gaps (a dotted training target)."""
+    from nextbestpath_tpu.ops.obstacle_map import rasterize_segments
+
+    # Horizontal wall spanning x in [-500, 500] at z = 5 (camera at origin,
+    # window = 80 world units -> on-screen extent 256 px, full chord would
+    # be 3200 px >> MAX_STEPS 384).
+    seg = jnp.asarray([[[-500.0, 5.0], [500.0, 5.0]]])
+    img = np.asarray(rasterize_segments(
+        seg, jnp.asarray([True]), jnp.float32(0.0), jnp.float32(0.0),
+        grid_size=256, grid_range=(-40.0, 40.0)))
+    row = int(np.round((-(5.0) - (-40.0)) * 256 / 80.0))
+    assert img[row].sum() == 256, img[row].sum()  # every column hit
+
+    # Fully off-screen segment draws nothing.
+    seg2 = jnp.asarray([[[-500.0, 200.0], [500.0, 200.0]]])
+    img2 = np.asarray(rasterize_segments(
+        seg2, jnp.asarray([True]), jnp.float32(0.0), jnp.float32(0.0),
+        grid_size=256, grid_range=(-40.0, 40.0)))
+    assert img2.sum() == 0.0
+
+    # SoA plane-section variant matches the dense one.
+    from nextbestpath_tpu.ops.obstacle_map import (
+        plane_section_segments,
+        plane_section_segments_soa,
+    )
+    from nextbestpath_tpu.ops.raytrace import tris_to_soa
+
+    rng = np.random.default_rng(5)
+    tris = jnp.asarray(rng.normal(scale=10.0, size=(32, 3, 3)),
+                       jnp.float32)
+    s_a, v_a = plane_section_segments(tris, 32, jnp.float32(0.3))
+    s_b, v_b = plane_section_segments_soa(tris_to_soa(tris), 32,
+                                          jnp.float32(0.3))
+    np.testing.assert_array_equal(np.asarray(v_a), np.asarray(v_b))
+    np.testing.assert_allclose(np.asarray(s_a)[np.asarray(v_a)],
+                               np.asarray(s_b)[np.asarray(v_b)], atol=1e-4)
