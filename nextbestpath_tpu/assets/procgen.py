@@ -112,8 +112,8 @@ def _grid_coords(n_cells: int) -> np.ndarray:
 def _extract_boundary_mesh(G: np.ndarray, xs: np.ndarray, zs: np.ndarray,
                            y0: float, y1: float):
     """Triangles bounding the air volume defined by plan grid G extruded
-    from y0 to y1. Normals point into the air (counter-clockwise seen from
-    inside), matching interior-surface meshes."""
+    from y0 to y1. Winding is consistent but normals point INTO THE SOLID
+    (see module docstring: all consumers are orientation-agnostic)."""
     verts: Dict[Tuple[float, float, float], int] = {}
     faces = []
 
@@ -135,9 +135,9 @@ def _extract_boundary_mesh(G: np.ndarray, xs: np.ndarray, zs: np.ndarray,
                 continue
             x0, x1 = xs[i], xs[i + 1]
             z0, z1 = zs[j], zs[j + 1]
-            # floor (normal +y, into air)
+            # floor (normal -y, into the solid)
             quad((x0, y0, z0), (x1, y0, z0), (x1, y0, z1), (x0, y0, z1))
-            # ceiling (normal -y)
+            # ceiling (normal +y, into the solid)
             quad((x0, y1, z0), (x0, y1, z1), (x1, y1, z1), (x1, y1, z0))
             # -x wall
             if i == 0 or not G[i - 1, j]:

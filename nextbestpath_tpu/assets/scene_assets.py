@@ -151,12 +151,17 @@ def pack_scene(
     gt_surface = sample_points_on_mesh_surface(
         verts, inside_faces, int(params.n_gt_surface_points), rng=rng
     )
+    # Per-scene settings.json cell_capacity wins over the global default
+    # (fill_cells uses the SCENE's capacity, macarons_utils.py:3000-3028) —
+    # otherwise a reference-format scene dir's capacity is dead config.
+    cap = int(getattr(settings.scene, "cell_capacity", 0)
+              or params.surface_cell_capacity)
     gt_surface = grid_capacity_cap(
         gt_surface,
         sx_min,
         sx_max,
         (settings.scene.grid_l, settings.scene.grid_w, settings.scene.grid_h),
-        int(params.surface_cell_capacity),
+        cap,
         rng=rng,
     )
     gt_colors = np.full((len(gt_surface), 3), GRAY, dtype=np.float32)

@@ -17,21 +17,40 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..assets.objects import cameras_on_sphere
 from ..assets.scene_assets import SceneAssets
 from ..models.harmonics import base_view_harmonics
 from ..models.scone import SconeVis, coverage_gain
 from ..ops.raytrace import ray_hits, tris_to_soa
 from ..ops.view_state import compute_view_harmonics, compute_view_state
-from ..train.pretrain_scone import cameras_on_sphere
+
+
+def visible_mask_batched(surface: np.ndarray, cams: np.ndarray, tri_soa,
+                         n_tris) -> np.ndarray:
+    """(C, N) visibility of surface points from each camera: the segment
+    camera->point must not hit the mesh strictly before the point
+    (ray_hits returns +inf when nothing is hit within t_max)."""
+    C, N = len(cams), len(surface)
+    origins = np.repeat(np.asarray(cams, np.float32), N, axis=0)
+    dirs = (np.tile(surface, (C, 1)) - origins)
+    t, _ = ray_hits(jnp.asarray(origins), jnp.asarray(dirs), tri_soa,
+                    n_tris, t_min=1e-4, t_max=0.999)
+    return (np.asarray(t) >= 0.999).reshape(C, N)
 
 
 def visible_mask(surface: np.ndarray, cam: np.ndarray, tri_soa, n_tris
                  ) -> np.ndarray:
     """Surface points visible (unoccluded) from cam."""
-    d = surface - cam[None]
-    t, _ = ray_hits(jnp.asarray(np.repeat(cam[None], len(surface), 0)),
-                    jnp.asarray(d), tri_soa, n_tris, t_min=1e-4, t_max=0.999)
-    return np.asarray(t) >= 0.999
+    return visible_mask_batched(surface, np.asarray(cam)[None], tri_soa,
+                                n_tris)[0]
+
+
+def _bounds(assets):
+    """Scene bbox for SceneAssets (settings) or ObjectAssets (x_min/max)."""
+    settings = getattr(assets, "settings", None)
+    if settings is not None:
+        return settings.scene.x_min, settings.scene.x_max
+    return assets.x_min, assets.x_max
 
 
 def object_nbv_rollout(assets: SceneAssets, scone_vis: SconeVis, vis_variables,
@@ -46,8 +65,7 @@ def object_nbv_rollout(assets: SceneAssets, scone_vis: SconeVis, vis_variables,
     n_tris = assets.n_tris
     surface = assets.gt_surface[
         rng.permutation(len(assets.gt_surface))[:2048]]
-    lo = assets.settings.scene.x_min
-    hi = assets.settings.scene.x_max
+    lo, hi = _bounds(assets)
     center = (lo + hi) / 2.0
     diag = float(np.linalg.norm(hi - lo))
     norm = lambda q: (q - center) / diag
@@ -60,6 +78,11 @@ def object_nbv_rollout(assets: SceneAssets, scone_vis: SconeVis, vis_variables,
     curve = [float(covered.mean())]
 
     for step in range(n_views - 1):
+        if len(chosen) >= n_candidates:
+            # Every candidate acquired: the curve is saturated; further
+            # argmax over an empty gains array would raise.
+            curve.append(curve[-1])
+            continue
         # Tokens: observed surface points (covered set) with occupancy 1.
         obs = surface[covered] if covered.any() else surface[:1]
         idx = rng.integers(0, len(obs), n_tokens)

@@ -56,6 +56,11 @@ def depth_to_disparity(depth, d_min: float = D_MIN, d_max: float = D_MAX):
 
 
 class FeatureExtractor(nn.Module):
+    """Standalone stem+layer1 feature extractor (FeatureExtractor,
+    ManyDepth.py:33-50). ManyDepth.__call__ inlines the SAME stack instead
+    of using this class because it also needs the pre-pool conv1 activation
+    as a decoder skip; keep the two in sync."""
+
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -74,8 +79,13 @@ def _warp_features(world_points, features, R, T, intr: CameraIntrinsics):
     factor = -float(min(h, w))
     gx = factor / w * proj[..., 0]
     gy = factor / h * proj[..., 1]
-    # Zero padding outside [-1, 1] like grid_sample(padding_mode='zeros').
-    inside = (jnp.abs(gx) <= 1.0) & (jnp.abs(gy) <= 1.0)
+    # Zero padding outside [-1, 1] like grid_sample(padding_mode='zeros'),
+    # AND behind-camera rejection: project_points divides by view z, so a
+    # point behind the source camera (z < 0) projects to a sign-flipped
+    # location that can land inside [-1, 1] and sample mirrored features
+    # into the cost volume at wrong depths.
+    inside = ((jnp.abs(gx) <= 1.0) & (jnp.abs(gy) <= 1.0)
+              & (proj[..., 2] > 0.0))
     sampled = jax.vmap(
         lambda c: grid_sample_bilinear(c, gx, gy), in_axes=-1, out_axes=-1
     )(features)
@@ -270,7 +280,7 @@ class ManyDepth(nn.Module):
         xa = x_alpha.reshape(B * A, H, W, 3)
         conv1_a = stem(xa, train)
         feats_a = layer1(maxpool_stem(conv1_a), train)
-        feats_a = feats_a.reshape(B, A, H // 4, (W + 3) // 4, 64)
+        feats_a = feats_a.reshape(B, A, (H + 3) // 4, (W + 3) // 4, 64)
 
         reduced = CostVolumeBuilder(
             intr=self.intr, n_depth=self.n_depth, d_min=self.d_min,
@@ -282,7 +292,10 @@ class ManyDepth(nn.Module):
         layer4 = ResNetLayer(512, 2, dtype=self.dtype)(layer3, train)
 
         def size(div):
-            return (H // div, W // div + (1 if W % div else 0))
+            # SAME-padded stride-2 stacks produce ceil-divided sizes on
+            # BOTH axes (floor on H crashed reshapes for H % 32 != 0).
+            return (H // div + (1 if H % div else 0),
+                    W // div + (1 if W % div else 0))
 
         iconv5 = ExpansionLayer(256, 256, size(16), dtype=self.dtype)(
             layer4, layer3)

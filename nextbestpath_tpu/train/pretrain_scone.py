@@ -12,8 +12,10 @@ clouds + view-state harmonics, then
   SconeVis.py:306-377 — default "uncentered_l1" per config).
 
 The ShapeNet dataset is not vendored; objects come from the procedural
-generator (closed meshes whose GT occupancy the parity kernel provides).
-Partial point clouds are produced by the same renderer used everywhere else.
+blob-object generator (assets/objects.py — closed exterior meshes whose GT
+occupancy the parity kernel provides; procgen SCENES are interiors and
+would make sphere-camera visibility degenerate). Partial point clouds are
+produced by the same renderer used everywhere else.
 """
 
 from __future__ import annotations
@@ -26,8 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..assets.procgen import generate_scene
-from ..assets.scene_assets import pack_generated_scene
+from ..assets.objects import (cameras_on_sphere, generate_object,
+                              pose5_toward)
 from ..geometry.cameras import CameraIntrinsics
 from ..models.harmonics import base_view_harmonics
 from ..models.scone import SconeOcc, SconeVis, coverage_gain
@@ -61,19 +63,6 @@ COV_LOSSES = {"kl_divergence": kl_div_ce, "l1": normalized_l1,
               "uncentered_l1": uncentered_l1}
 
 
-def cameras_on_sphere(n: int, radius: float, center: np.ndarray,
-                      rng: np.random.Generator) -> np.ndarray:
-    """Random cameras on a sphere (get_cameras_on_sphere analog,
-    scone_utils.py:741)."""
-    elev = rng.uniform(-60.0, 60.0, n)
-    azim = rng.uniform(0.0, 360.0, n)
-    e = np.deg2rad(elev)
-    a = np.deg2rad(azim)
-    dirs = np.stack([np.cos(e) * np.sin(a), np.sin(e), np.cos(e) * np.cos(a)],
-                    axis=-1)
-    return center[None] + radius * dirs
-
-
 @dataclasses.dataclass
 class PretrainSample:
     partial_pc: np.ndarray       # (N, 3) normalized
@@ -89,34 +78,29 @@ def make_pretrain_sample(seed: int, n_partial: int = 1024, n_query: int = 512,
                          n_elev: int = 7, n_azim: int = 14,
                          intr: Optional[CameraIntrinsics] = None
                          ) -> PretrainSample:
-    """Build one supervised sample from a procedural object."""
+    """Build one supervised sample from a procedural blob object, viewed
+    from sphere cameras like the reference's ShapeNet setup
+    (pretrain_scone_occ.py:10-130: sample n_views cameras on a sphere,
+    fuse their partial clouds, supervise occupancy / per-candidate
+    coverage)."""
     rng = np.random.default_rng(seed)
-    scn = generate_scene("simple", seed=seed)
-    assets = pack_generated_scene(scn, seed=seed)
-    tri = jnp.asarray(assets.tris)
-    soa = tris_to_soa(tri)
+    assets = generate_object(seed)
+    soa = tris_to_soa(jnp.asarray(assets.tris))
     n_tris = assets.n_tris
     intr = intr or CameraIntrinsics(image_height=64, image_width=114)
 
-    lo = assets.settings.scene.x_min
-    hi = assets.settings.scene.x_max
+    lo = assets.x_min
+    hi = assets.x_max
     center = (lo + hi) / 2.0
     diag = float(np.linalg.norm(hi - lo))
 
-    # Views from inside the structure (procgen objects are interiors).
-    inside_xy = np.argwhere(scn.air_grid)
     key = jax.random.PRNGKey(seed)
-
+    view_cams = cameras_on_sphere(n_views, 0.7 * diag, center, rng)
     cam_positions = []
     parts = []
     for v in range(n_views):
-        cell = inside_xy[rng.integers(len(inside_xy))]
-        # plan-grid cell -> world center (approximation: use pose lattice).
-        il = rng.integers(assets.pose_l)
-        ih = rng.integers(assets.pose_h)
-        pos = assets.pose_position(np.asarray(il), np.asarray(ih))
-        azim = float(rng.uniform(0, 360))
-        pose5 = jnp.asarray([pos[0], pos[1], pos[2], 0.0, azim], jnp.float32)
+        pos = view_cams[v]
+        pose5 = jnp.asarray(pose5_toward(pos, center))
         zbuf, R, T = capture_depth(soa, n_tris, pose5, intr)
         key, sub = jax.random.split(key)
         batch = backproject_sample(zbuf, R, T, intr, sub, n_partial,
@@ -133,11 +117,11 @@ def make_pretrain_sample(seed: int, n_partial: int = 1024, n_query: int = 512,
         partial = np.concatenate([partial, partial[pad]]) if len(partial) else (
             np.zeros((n_partial, 3), np.float32))
 
-    # Query points + GT occupancy by parity.
+    # Query points + GT occupancy by parity (objects are solids: occupied
+    # == inside the closed mesh, no inversion).
     queries = rng.uniform(lo, hi, size=(n_query, 3)).astype(np.float32)
     occ = np.asarray(points_inside_mesh(jnp.asarray(queries), soa, n_tris))
-    # Procgen meshes bound the AIR volume: occupied == NOT inside air.
-    occ = (~occ).astype(np.float32)[:, None]
+    occ = occ.astype(np.float32)[:, None]
 
     # View harmonics at query points from the cameras used.
     base_h, h_polar = base_view_harmonics(n_elev, n_azim, 8)
@@ -148,19 +132,13 @@ def make_pretrain_sample(seed: int, n_partial: int = 1024, n_query: int = 512,
                                            n_azim))[0]
 
     cands = cameras_on_sphere(n_candidates, 0.7 * diag, center, rng)
-    # GT coverage proxy: fraction of GT surface visible from each candidate
-    # (unoccluded within sensor range).
-    gt_cov = []
+    # GT coverage: fraction of GT surface visible (unoccluded) from each
+    # candidate — one batched ray cast over all candidates.
+    from ..eval.object_nbv import visible_mask_batched
+
     gt_pts = assets.gt_surface[rng.permutation(len(assets.gt_surface))[:512]]
-    for c in cands:
-        d = gt_pts - c[None]
-        # occlusion: segment from camera to point must not hit the mesh
-        # before the point (strictly before => visible).
-        from ..ops.raytrace import ray_hits
-        t, _ = ray_hits(jnp.asarray(np.repeat(c[None], len(gt_pts), 0)),
-                        jnp.asarray(d), soa, n_tris, t_min=1e-4, t_max=0.999)
-        visible = np.asarray(t) >= 0.999
-        gt_cov.append(visible.mean())
+    gt_cov = list(np.asarray(
+        visible_mask_batched(gt_pts, cands, soa, n_tris)).mean(axis=1))
 
     norm = lambda q: (q - center) / diag
     return PretrainSample(

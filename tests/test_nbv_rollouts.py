@@ -44,8 +44,41 @@ def test_macarons_nbv_rollout_smoke(scone_models):
 @pytest.mark.slow
 def test_object_nbv_rollout_smoke(scone_models):
     _, _, vis, vis_vars = scone_models
-    assets = pack_generated_scene(generate_scene("simple", seed=6))
+    from nextbestpath_tpu.assets.objects import generate_object
+
+    assets = generate_object(seed=6, n_gt_surface_points=512)
     curve = object_nbv_rollout(assets, vis, vis_vars, n_views=3,
                                n_candidates=8, n_tokens=64, seed=0)
     assert len(curve) == 3
     assert curve[-1] >= curve[0]
+    # Sphere views of a closed EXTERIOR object see real surface from the
+    # first view (the old maze-interior stand-in only ever exposed the
+    # outer shell).
+    assert curve[0] > 0.1
+
+    # n_views > n_candidates: curve saturates instead of crashing.
+    curve2 = object_nbv_rollout(assets, vis, vis_vars, n_views=6,
+                                n_candidates=4, n_tokens=64, seed=0)
+    assert len(curve2) == 6
+
+
+def test_generate_object_watertight_parity():
+    """The blob object is an embedded closed surface: parity inside tests
+    classify the center as inside and far points as outside, and GT
+    surface samples lie within the bbox."""
+    import numpy as np
+
+    from nextbestpath_tpu.assets.objects import generate_object
+    from nextbestpath_tpu.ops.raytrace import points_inside_mesh, tris_to_soa
+
+    for seed in (0, 3):
+        obj = generate_object(seed=seed, n_gt_surface_points=256)
+        soa = tris_to_soa(jnp.asarray(obj.tris))
+        center = (obj.x_min + obj.x_max) / 2.0
+        far = obj.x_max + 10.0
+        res = np.asarray(points_inside_mesh(
+            jnp.asarray(np.stack([center, far])), soa, obj.n_tris))
+        assert res.tolist() == [True, False]
+        assert (obj.gt_surface >= obj.x_min - 1e-4).all()
+        assert (obj.gt_surface <= obj.x_max + 1e-4).all()
+        assert obj.n_tris == len(obj.faces)
