@@ -38,9 +38,18 @@ class Params:
     Reference: macarons/utility/utils.py:51-83.
     """
 
+    _RESERVED = frozenset({"get", "update", "as_dict"})
+
     def __init__(self, d: Dict[str, Any], flatten: bool = True):
         if flatten:
             d = flatten_dict(d)
+        # Config keys land in __dict__, so a key named like a method would
+        # shadow it and break every consumer ('int' is not callable from
+        # params.get(...)) — reject such configs loudly.
+        bad = self._RESERVED & set(d)
+        if bad:
+            raise ValueError(
+                f"config keys {sorted(bad)} collide with Params methods")
         self.__dict__.update(d)
 
     def get(self, key: str, default: Any = None) -> Any:

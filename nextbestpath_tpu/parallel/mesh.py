@@ -21,6 +21,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            # Silent truncation would label an n-way run that actually ran
+            # on fewer chips — fail at the source instead.
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} devices are visible "
+                "(set --xla_force_host_platform_device_count for CPU "
+                "testing)")
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis,))
 
