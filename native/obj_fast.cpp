@@ -43,7 +43,10 @@ void* obj_parse(const char* path) {
   std::fseek(f, 0, SEEK_END);
   long size = std::ftell(f);
   std::fseek(f, 0, SEEK_SET);
-  std::vector<char> buf(static_cast<size_t>(size));
+  // +1 NUL terminator: strtof/strtol require a terminated string and would
+  // read past the heap buffer when the file's last token is a number at
+  // EOF with no trailing newline.
+  std::vector<char> buf(static_cast<size_t>(size) + 1, '\0');
   if (size > 0 && std::fread(buf.data(), 1, size, f) != (size_t)size) {
     std::fclose(f);
     return nullptr;
@@ -55,7 +58,7 @@ void* obj_parse(const char* path) {
   mesh->faces.reserve(1 << 16);
 
   const char* p = buf.data();
-  const char* end = buf.data() + buf.size();
+  const char* end = buf.data() + static_cast<size_t>(size);  // excl. the NUL
   std::vector<int32_t> poly;
   while (p < end) {
     p = skip_ws(p, end);

@@ -8,12 +8,24 @@
 // (nextbestpath_tpu/train/replay_native.py).
 //
 // Record framing: [u64 magic][u64 payload_len][payload bytes].
+//
+// Concurrency contract: SINGLE writer, SINGLE thread per open handle. The
+// handle shares one FILE* whose position both append and read mutate, and
+// appends are two fwrites — concurrent access from two processes or
+// threads would interleave frames and corrupt everything after the
+// interleave point. (The LMDB tier this replaces was transactional; the
+// training pipeline is strictly single-process per store, so the contract
+// is documented rather than locked.)
 
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <string>
 #include <vector>
+
+#if !defined(_WIN32)
+#include <unistd.h>
+#endif
 
 namespace {
 
@@ -36,17 +48,42 @@ void* replay_open(const char* path) {
     delete s;
     return nullptr;
   }
-  // Rebuild the index by scanning the log.
+  // Rebuild the index by scanning the log. A record is indexed only when
+  // its payload fits INSIDE the file: fseek past EOF succeeds, so without
+  // the bound a crash-truncated tail record would be indexed as valid,
+  // later appends would land inside its claimed extent, and reads of it
+  // would return framing bytes of the following records. The file is also
+  // truncated at the last valid record so subsequent appends re-align.
+  std::fseek(s->file, 0, SEEK_END);
+  long file_size = std::ftell(s->file);
   std::fseek(s->file, 0, SEEK_SET);
+  long valid_end = 0;
   while (true) {
     uint64_t header[2];
     long pos = std::ftell(s->file);
     if (std::fread(header, sizeof(uint64_t), 2, s->file) != 2) break;
-    if (header[0] != kMagic) break;  // truncated/corrupt tail: stop
+    if (header[0] != kMagic) break;  // corrupt tail: stop
+    long payload_end =
+        pos + static_cast<long>(2 * sizeof(uint64_t) + header[1]);
+    if (payload_end > file_size) break;  // truncated tail record: drop
     s->offsets.push_back(static_cast<uint64_t>(pos) + 2 * sizeof(uint64_t));
     s->lengths.push_back(header[1]);
+    valid_end = payload_end;
     if (std::fseek(s->file, static_cast<long>(header[1]), SEEK_CUR) != 0)
       break;
+  }
+  if (valid_end < file_size) {
+    // Drop the corrupt/truncated tail so the next append starts aligned.
+    std::fflush(s->file);
+#if defined(_WIN32)
+    // ftruncate unavailable: the corrupt tail stays on disk (it is never
+    // indexed, but appends in "a" mode land after it — re-open on POSIX
+    // to repair).
+#else
+    if (ftruncate(fileno(s->file), valid_end) != 0) {
+      // Best effort: reads/appends still work via the index.
+    }
+#endif
   }
   std::fseek(s->file, 0, SEEK_END);
   return s;

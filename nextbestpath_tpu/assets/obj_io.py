@@ -23,19 +23,31 @@ def load_obj(path: str) -> Tuple[np.ndarray, np.ndarray]:
     verts = []
     faces = []
     with open(path, "r") as f:
-        for line in f:
-            if line.startswith("v "):
-                parts = line.split()
-                verts.append((float(parts[1]), float(parts[2]), float(parts[3])))
-            elif line.startswith("f "):
+        for raw in f:
+            # Tab-delimited and indented records are valid OBJ; accepting
+            # them keeps this parser's output identical to the native one
+            # (obj_fast.cpp skips leading whitespace and allows 'v\\t').
+            line = raw.lstrip(" \t")
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "v" and len(parts) >= 2:
+                coords = [float(parts[k]) if k < len(parts) else 0.0
+                          for k in range(1, 4)]
+                verts.append(tuple(coords))
+            elif parts[0] == "f" and len(parts) >= 2:
                 idx = []
-                for tok in line.split()[1:]:
+                for tok in parts[1:]:
+                    if tok.startswith("#"):
+                        break
                     s = tok.split("/")[0]
                     i = int(s)
                     idx.append(i - 1 if i > 0 else len(verts) + i)
                 for k in range(1, len(idx) - 1):
                     faces.append((idx[0], idx[k], idx[k + 1]))
     v = np.asarray(verts, dtype=np.float32)
+    if v.size == 0:
+        v = np.zeros((0, 3), dtype=np.float32)
     f_arr = np.asarray(faces, dtype=np.int32)
     if f_arr.size == 0:
         f_arr = np.zeros((0, 3), dtype=np.int32)

@@ -23,11 +23,20 @@ from ..geometry.spherical import get_cartesian_coords, get_spherical_coords
 from ..geometry.cameras import camera_center
 
 
-def _direction_indices(rays: jnp.ndarray, n_elev: int, n_azim: int):
+def _direction_indices(rays: jnp.ndarray, n_elev: int, n_azim: int,
+                       symmetric_clamp: bool = False):
     """Discretize ray directions into the (n_elev, n_azim) grid, flattened.
 
     Mirrors the floor-divide + round-to-nearest + clamping of
-    compute_view_state (:828-847).
+    compute_view_state (:828-847). REFERENCE QUIRK kept for parity
+    (symmetric_clamp=False): the elevation clamp there is
+    [-n_elev//2, n_elev-1] followed by a flat mod, so near-vertical UPWARD
+    rays (elev above the top bin, e.g. > 78.75 deg at n_elev=7) wrap to
+    the bottom rows of the grid. move_view_state_to_view_space (:915-917)
+    instead clamps symmetrically to +-n_elev//2 — pass
+    symmetric_clamp=True for that variant. Both behaviors are the
+    reference's own; SCONE pretraining/inference must stay consistent
+    with them.
     """
     _, elev, azim = get_spherical_coords(rays)
     elev_step = math.pi / (n_elev + 1)
@@ -39,7 +48,8 @@ def _direction_indices(rays: jnp.ndarray, n_elev: int, n_azim: int):
                          idx_elev + 1, idx_elev)
     idx_azim = jnp.where(jnp.mod(azim, azim_step) > azim_step / 2.0,
                          idx_azim + 1, idx_azim)
-    idx_elev = jnp.clip(idx_elev, -(n_elev // 2), n_elev - 1)
+    hi = n_elev // 2 if symmetric_clamp else n_elev - 1
+    idx_elev = jnp.clip(idx_elev, -(n_elev // 2), hi)
     idx_azim = jnp.where(idx_azim > n_azim // 2, -(n_azim // 2), idx_azim)
     idx_elev = idx_elev + n_elev // 2
     idx_azim = jnp.where(idx_azim < 0, idx_azim + n_azim, idx_azim)
@@ -92,21 +102,9 @@ def view_space_permutation(R: jnp.ndarray, T: jnp.ndarray,
     world = (X_ref - T[None, :]) @ R.T  # inverse of X@R+T
     dirs = world - eye[None, :]
 
-    elev_step = math.pi / (n_elev + 1)
-    azim_step = 2 * math.pi / n_azim
-    _, e, a = get_spherical_coords(dirs)
-    idx_elev = jnp.floor_divide(e, elev_step)
-    idx_azim = jnp.floor_divide(a, azim_step)
-    idx_elev = jnp.where(jnp.mod(e, elev_step) > elev_step / 2.0,
-                         idx_elev + 1, idx_elev)
-    idx_azim = jnp.where(jnp.mod(a, azim_step) > azim_step / 2.0,
-                         idx_azim + 1, idx_azim)
-    idx_elev = jnp.clip(idx_elev, -(n_elev // 2), n_elev // 2)
-    idx_azim = jnp.where(idx_azim > n_azim // 2, -(n_azim // 2), idx_azim)
-    idx_elev = idx_elev + n_elev // 2
-    idx_azim = jnp.where(idx_azim < 0, idx_azim + n_azim, idx_azim)
-    return (idx_elev.astype(jnp.int32) * n_azim
-            + idx_azim.astype(jnp.int32))
+    # Same discretization core as compute_view_state; the reference clamps
+    # elevation SYMMETRICALLY here (:915-917), unlike the state builder.
+    return _direction_indices(dirs, n_elev, n_azim, symmetric_clamp=True)
 
 
 def normalize_points_in_prediction_box(points, box_center, box_diag):

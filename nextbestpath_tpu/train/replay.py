@@ -164,6 +164,27 @@ class ReplayDB:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         np.savez(path, **self._pack(self.entries))
 
+    def save_native(self, path: str) -> None:
+        """Persist through the native record store (one incremental record
+        per experience — the LMDB-analog tier, native/replay_store.cpp).
+        Requires the built library (replay_native.native_available())."""
+        from .replay_native import NativeReplayStore
+
+        store = NativeReplayStore(path)
+        for i in range(len(store), len(self.entries)):
+            store.append(self.entries[i])
+        store.close()
+
+    def load_native(self, path: str) -> int:
+        """Load every record from a native store file; returns the count."""
+        from .replay_native import NativeReplayStore
+
+        store = NativeReplayStore(path)
+        loaded = store.read_all()
+        self.entries.extend(loaded)
+        store.close()
+        return len(loaded)
+
     def load(self, path: str) -> None:
         with np.load(path) as z:
             n = int(z["n"])

@@ -2,8 +2,12 @@
 (native/replay_store.cpp) — the LMDB-tier replacement.
 
 Records are the msgpack-free binary serialization of train.replay.Experience
-(raw little-endian arrays with a small header). Falls back to None when the
-library isn't built; ReplayDB uses npz persistence in that case.
+(raw little-endian arrays with a small header). The training drivers
+persist through ReplayDB's npz shards by default; this store is the
+opt-in incremental-append tier (ReplayDB.save_native/load_native — one
+record per experience, crash-tolerant index rebuild on open, like the
+reference's per-experience LMDB puts). native_available() is False when
+the library isn't built.
 """
 
 from __future__ import annotations
@@ -54,23 +58,28 @@ def native_available() -> bool:
 
 
 def _pack(e: Experience) -> bytes:
-    mi = np.ascontiguousarray(e.model_input, np.float16).tobytes()
+    """Self-describing record: the header carries the model-input spatial
+    dims so stores written at non-default resolutions read back correctly
+    (a hardcoded 256^2 reshape crashed on any other config)."""
+    mi_arr = np.ascontiguousarray(e.model_input, np.float16)
+    c, h, w = mi_arr.shape
+    mi = mi_arr.tobytes()
     gl = np.ascontiguousarray(e.gt_layout, np.uint8).tobytes()
     px = np.ascontiguousarray(e.pixels, np.int32).tobytes()
     gn = np.ascontiguousarray(e.gains, np.float32).tobytes()
-    header = struct.pack("<5q", len(e.pixels), e.pose_i, len(mi), len(gl),
-                         len(px))
+    header = struct.pack("<8q", len(e.pixels), e.pose_i, len(mi), len(gl),
+                         len(px), c, h, w)
     return header + mi + gl + px + gn
 
 
 def _unpack(buf: bytes) -> Experience:
-    k, pose_i, n_mi, n_gl, n_px = struct.unpack_from("<5q", buf, 0)
-    off = 5 * 8
+    k, pose_i, n_mi, n_gl, n_px, c, h, w = struct.unpack_from("<8q", buf, 0)
+    off = 8 * 8
     mi = np.frombuffer(buf, np.float16, count=n_mi // 2, offset=off
-                       ).reshape(5, 256, 256)
+                       ).reshape(c, h, w)
     off += n_mi
     gl = np.frombuffer(buf, np.uint8, count=n_gl, offset=off
-                       ).reshape(256, 256)
+                       ).reshape(h, w)
     off += n_gl
     px = np.frombuffer(buf, np.int32, count=n_px // 4, offset=off
                        ).reshape(-1, 3)

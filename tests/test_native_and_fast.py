@@ -83,3 +83,38 @@ def test_fast_sampling_coverage_close_to_exact():
                                      jax.random.PRNGKey(0),
                                      fast_sampling=True))
     assert abs(exact - fast) < 0.03, (exact, fast)
+
+
+def test_replay_db_native_roundtrip(tmp_path):
+    """ReplayDB.save_native/load_native: the opt-in incremental record
+    tier (LMDB analog) round-trips entries exactly and appends only the
+    new suffix on re-save."""
+    from nextbestpath_tpu.train.replay_native import native_available
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("native replay store not built")
+    import numpy as np
+
+    from nextbestpath_tpu.train.replay import ReplayDB
+
+    db = ReplayDB()
+    for i in range(4):
+        db.append(np.full((5, 16, 16), i, np.float16),
+                  np.zeros((16, 16), np.uint8),
+                  np.asarray([[i, 1, 2]], np.int32),
+                  np.asarray([0.25 * i], np.float32), pose_i=i)
+    path = str(tmp_path / "store.bin")
+    db.save_native(path)
+    db.append(np.full((5, 16, 16), 9, np.float16),
+              np.zeros((16, 16), np.uint8),
+              np.asarray([[9, 1, 2]], np.int32),
+              np.asarray([9.0], np.float32), pose_i=9)
+    db.save_native(path)  # appends only the new record
+
+    db2 = ReplayDB()
+    assert db2.load_native(path) == 5
+    assert [e.pose_i for e in db2.entries] == [0, 1, 2, 3, 9]
+    np.testing.assert_array_equal(db2.entries[4].model_input,
+                                  db.entries[4].model_input)
