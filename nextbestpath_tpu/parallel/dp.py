@@ -152,3 +152,192 @@ def dp_rollout_demo(mesh: Mesh, n_scenes: int = 2, n_poses: int = 3,
         print(f"dp_rollout_demo({n_dev} devices, {n_scenes} scenes, "
               f"{n_poses} poses): final coverage {covs}")
     return results
+
+
+# ---------------------------------------------------------------------------
+# DP over the real replay pipeline: the sharded analog of
+# train/train_nbp.train_nbp (device-staged dataset, micro-step index gathers,
+# MultiSteps accumulation, plateau LR). Collection side: parallel/spmd.py.
+# ---------------------------------------------------------------------------
+
+_DP_STEP_CACHE = {}
+
+
+def make_dp_train_step_ds(model: NBP, optimizer, mesh: Mesh,
+                          axis: str = "data"):
+    """Sharded version of train_nbp._train_step_ds.
+
+    The staged dataset stays replicated (a few GB — fits every chip's HBM
+    next to the 55M model; gathering from a row-sharded dataset by
+    device-local indices would lower to a per-step all-gather of the whole
+    store). The micro-batch INDEX vector is sharded over the mesh axis, so
+    each device gathers and differentiates its own rows; the out-sharding
+    on the replicated state makes XLA insert the gradient psum (NCCL
+    all-reduce analog), and the BatchNorm batch statistics are computed
+    over the GLOBAL micro batch by GSPMD (the SyncBatchNorm analog,
+    macarons_utils.py:484-489)."""
+    from ..models.unet import nbp_loss as _nbp_loss
+    from ..train.train_nbp import _gather_pred_values
+
+    key = (id(model), id(optimizer), id(mesh), axis)
+    if key in _DP_STEP_CACHE:
+        return _DP_STEP_CACHE[key]
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(axis))
+
+    def step(variables, opt_state, ds, idx, sw):
+        x = ds["x"][idx].astype(jnp.float32)
+        layout = ds["layout"][idx].astype(jnp.float32)[..., None]
+        pixels = ds["pixels"][idx]
+        gains = ds["gains"][idx]
+        weights = ds["pweights"][idx] * sw[:, None]
+
+        def loss_fn(params):
+            (vm, om), mutated = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x, train=True, mutable=["batch_stats"],
+            )
+            pred_vals = _gather_pred_values(vm, pixels)
+            loss = _nbp_loss(params["log_vars"], pred_vals, gains, om,
+                             layout, value_weight=weights, sample_weight=sw)
+            return loss, mutated
+
+        (loss, mutated), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            variables["params"])
+        updates, new_opt = optimizer.update(grads, opt_state,
+                                            variables["params"])
+        params = optax.apply_updates(variables["params"], updates)
+        return ({"params": params, "batch_stats": mutated["batch_stats"]},
+                new_opt, loss)
+
+    ds_spec = {k: repl for k in ("x", "layout", "pixels", "gains",
+                                 "pweights")}
+    jitted = jax.jit(
+        step,
+        in_shardings=(repl, repl, ds_spec, data, data),
+        out_shardings=(repl, repl, repl),
+        donate_argnums=(0, 1),
+    )
+    _DP_STEP_CACHE[key] = jitted
+    return jitted
+
+
+def train_nbp_dp(model: NBP, state, db, validation_data,
+                 current_epoch: int, mesh: Mesh, axis: str = "data",
+                 params=None, num_epochs: int = 5, seed: int = 0,
+                 verbose: bool = True):
+    """Mesh-sharded inner training: the DDP analog of train_nbp
+    (nbp_utils.py:430-467 under DistributedDataParallel).
+
+    Same recipe — 5 inner epochs over the combined replay slice, plateau
+    LR, MultiSteps accumulation — with every micro step's batch split
+    across the mesh axis. Validation runs on the replicated staged set
+    (metric only; the reference all-reduces it, reduce_tensor
+    macarons_utils.py:235-240 — here the full set is scored identically on
+    every host). Returns (state, mean_train_loss, mean_val_loss) like
+    train_nbp."""
+    import dataclasses
+    import random as _random
+
+    import numpy as np
+
+    from ..config import default_params
+    from ..train.train_nbp import (
+        MICRO_BATCH,
+        PlateauScheduler,
+        _epoch_pool,
+        _micro_chunks,
+        build_device_dataset,
+        release_device_dataset,
+        validate,
+    )
+
+    p = params or default_params()
+    n_dev = mesh.devices.size
+    repl = NamedSharding(mesh, P())
+    data_sh = NamedSharding(mesh, P(axis))
+    rng = _random.Random(seed)
+    if current_epoch == 1:
+        data = db.read_combined(last_n=None)
+    else:
+        data = db.read_combined(last_n=4608, sample_size=2048, rng=rng)
+    sched = PlateauScheduler()
+    lr = state.lr
+    train_losses, val_losses = [], []
+    ds, _ = build_device_dataset(data)
+    ds = jax.device_put(ds, repl)
+    pool = _epoch_pool(data, current_epoch)
+    # The micro batch must tile the mesh axis; keep at least one row per
+    # device and round up to the axis size.
+    micro = min(MICRO_BATCH, int(p.nbp_batch_size))
+    micro = max(micro, n_dev)
+    micro = (micro + n_dev - 1) // n_dev * n_dev
+    step = make_dp_train_step_ds(model, state.optimizer, mesh, axis=axis)
+    variables = jax.device_put(state.variables, repl)
+    opt_state = jax.device_put(state.opt_state, repl)
+    for e in range(num_epochs):
+        shuffled = list(pool)
+        rng.shuffle(shuffled)
+        losses = []
+        for idx, sw in _micro_chunks(shuffled, micro, rng=rng):
+            idx = jax.device_put(idx, data_sh)
+            sw = jax.device_put(sw, data_sh)
+            variables, opt_state, loss = step(variables, opt_state, ds,
+                                              idx, sw)
+            losses.append(loss)
+        tl = float(np.mean([float(l) for l in losses])) if losses else 0.0
+        state = dataclasses.replace(state, variables=variables,
+                                    opt_state=opt_state)
+        vl = validate(model, state, validation_data, int(p.nbp_batch_size))
+        train_losses.append(tl)
+        val_losses.append(vl)
+        new_lr = sched.step(vl, lr)
+        if new_lr != lr:
+            lr = new_lr
+            opt_state.inner_opt_state.hyperparams["learning_rate"] = (
+                jnp.asarray(lr))
+        if verbose:
+            print(f"  [dp x{n_dev}] inner epoch {e + 1}: train {tl:.4f} "
+                  f"val {vl:.4f} lr {lr:.2e}")
+    state = dataclasses.replace(state, variables=variables,
+                                opt_state=opt_state, lr=lr)
+    release_device_dataset(ds)
+    return state, (float(np.mean(train_losses)) if train_losses else 0.0), (
+        float(np.mean(val_losses)) if val_losses else 0.0)
+
+
+def dp_collection_demo(mesh: Mesh, n_poses: int = 2, axis: str = "data",
+                       verbose: bool = True):
+    """One-scene-per-device shard_map collection on tiny shapes (the dry-run
+    proof of the distributed trainer's collection half; parallel/spmd.py).
+    No collectives inside — each device runs its scene's Boltzmann rollout
+    with an independent scalar plan gate."""
+    from ..assets import generate_scene, pack_generated_scene
+    from ..assets.scene_assets import pad_assets_to_common
+    from ..config import default_params
+    from ..train.replay import ReplayDB
+    from .spmd import ShardedScanCollection
+
+    n_dev = mesh.devices.size
+    params = default_params(
+        image_height=64, image_width=114, points_per_frame=512,
+        full_pc_capacity=65536, n_gt_surface_points=2048,
+        pc2img_size=[64, 64], value_map_size=[16, 16],
+    )
+    assets = pad_assets_to_common([
+        pack_generated_scene(generate_scene("simple", seed=i), params=params)
+        for i in range(n_dev)
+    ])
+    model = NBP(width=8)
+    variables = jax.jit(lambda k, x: model.init(k, x, train=True))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 5)))
+    col = ShardedScanCollection(assets, model, mesh, mesh_axis=axis,
+                                params=params)
+    db = ReplayDB()
+    covs = col.collect_all(variables, db, seed=3, n_poses=n_poses)
+    if verbose:
+        print(f"dp_collection_demo({n_dev} devices, {n_poses} poses): "
+              f"final coverage {[round(c[-1], 4) for c in covs]}, "
+              f"db {len(db)}")
+    return covs

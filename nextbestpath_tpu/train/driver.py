@@ -287,3 +287,119 @@ def run_training_nbp_scan(
                       "resume with resume=True", flush=True)
             break
     return state
+
+
+def run_training_nbp_dp(
+    scenes: Sequence[SceneAssets],
+    mesh,
+    eval_scenes: Optional[Sequence[SceneAssets]] = None,
+    params: Optional[Params] = None,
+    epochs: int = 10,
+    n_poses: int = 100,
+    weights_dir: str = "weights/nbp",
+    log_dir: str = "training_log",
+    model_tag: str = "nbp_dp",
+    seed: int = 8,
+    verbose: bool = True,
+    model: Optional[NBP] = None,
+    interpret: Optional[bool] = None,
+    mesh_axis: str = "data",
+) -> TrainState:
+    """Distributed NBP training over a device mesh (the reference's full
+    DDP trainer, macarons_utils.py:177-326 + train_nbp_model.py:40-158).
+
+    Collection runs one scene per device via shard_map (each device's plan
+    gate fires independently — parallel/spmd.py); the inner training loop
+    shards every micro batch over the mesh axis with replicated state and
+    XLA-inserted gradient reduction (parallel/dp.py). The scene list must
+    be a multiple of the mesh size; groups of n_devices scenes share one
+    compiled collection program.
+
+    The single-chip production path is run_training_nbp_scan (resume,
+    wall-clock budget, held-out eval); this driver is the multi-chip
+    capability, exercised by tests/test_multichip.py and the driver's
+    dryrun on a virtual CPU mesh, and sized for a real pod slice.
+    """
+    import jax.numpy as jnp
+
+    from ..parallel.dp import train_nbp_dp
+    from ..parallel.spmd import ShardedScanCollection, ShardedScanRollout
+
+    p = params or default_params()
+    model = model or NBP(dtype=jnp.bfloat16)
+    n_dev = mesh.devices.size
+    if len(scenes) % n_dev != 0:
+        raise ValueError(
+            f"scene count {len(scenes)} must be a multiple of the mesh "
+            f"size {n_dev} (one scene per device per collection launch)")
+    state = init_train_state(model, jax.random.PRNGKey(seed),
+                             lr=float(p.nbp_lr))
+    groups = [list(scenes[i: i + n_dev])
+              for i in range(0, len(scenes), n_dev)]
+    collections = [
+        ShardedScanCollection(g, model, mesh, mesh_axis=mesh_axis,
+                              params=p, interpret=interpret)
+        for g in groups
+    ]
+    evaluator = None
+    if eval_scenes:
+        evaluator = ShardedScanRollout(
+            list(eval_scenes), model, state.variables, mesh,
+            mesh_axis=mesh_axis, params=p, interpret=interpret)
+
+    db = ReplayDB()
+    validation_data: List = []
+    best_val = float("inf")
+    log = {"train": [], "val": [], "coverage_after_trajectory": [],
+           "eval_auc": []}
+
+    for epoch in range(epochs):
+        t0 = time.time()
+        if verbose:
+            print(f"=== [dp x{n_dev}] epoch {epoch} ===", flush=True)
+        for gi, col in enumerate(collections):
+            covs = col.collect_all(
+                state.variables, db,
+                seed=seed * 1000 + epoch * len(scenes) + gi * n_dev,
+                n_poses=n_poses)
+            for s, cov in enumerate(covs):
+                log["coverage_after_trajectory"].append(
+                    cov[-1] if cov else 0.0)
+                if verbose:
+                    print(f"  collected {groups[gi][s].name}: {len(cov)} "
+                          f"poses, final coverage "
+                          f"{cov[-1] if cov else 0:.4f}, db {len(db)}",
+                          flush=True)
+
+        if epoch == 0:
+            validation_data = db.extract_validation(num=1200)
+            if verbose:
+                print(f"  validation split: {len(validation_data)} entries")
+        else:
+            state, tl, vl = train_nbp_dp(
+                model, state, db, validation_data, current_epoch=epoch,
+                mesh=mesh, axis=mesh_axis, params=p,
+                seed=seed * 131 + epoch, verbose=verbose)
+            log["train"].append(tl)
+            log["val"].append(vl)
+            if vl < best_val:
+                best_val = vl
+                save_checkpoint(
+                    os.path.join(weights_dir, f"{model_tag}_best_val.ckpt"),
+                    state.variables, epoch=epoch)
+
+        if evaluator is not None and epoch > 0:
+            results = evaluator.run(n_poses=min(n_poses, 40), seed=999,
+                                    variables=state.variables)
+            aucs = {a.name: round(r.auc, 4)
+                    for a, r in zip(eval_scenes, results)}
+            log["eval_auc"].append({"epoch": epoch, "auc": aucs})
+            if verbose:
+                print(f"  eval AUC: {aucs}", flush=True)
+
+        os.makedirs(log_dir, exist_ok=True)
+        with open(os.path.join(log_dir, f"{model_tag}_loss.json"), "w") as f:
+            json.dump(log, f)
+        if verbose:
+            print(f"  epoch wall time {time.time() - t0:.1f}s", flush=True)
+    return state

@@ -87,3 +87,136 @@ def test_dryrun_env_bootstrap_logic():
     assert ge._have_cpu_mesh(8)
     assert ge._have_cpu_mesh(2)
     assert not ge._have_cpu_mesh(64)
+
+
+def _tiny_params():
+    from nextbestpath_tpu.config import default_params
+
+    return default_params(
+        image_height=32, image_width=56, points_per_frame=256,
+        full_pc_capacity=32768, n_gt_surface_points=1024, max_path_len=32,
+        pc2img_size=[64, 64], value_map_size=[16, 16],
+    )
+
+
+def _tiny_assets(seeds=(2, 3)):
+    from nextbestpath_tpu.assets import generate_scene, pack_generated_scene
+    from nextbestpath_tpu.assets.scene_assets import pad_assets_to_common
+
+    params = _tiny_params()
+    return params, pad_assets_to_common([
+        pack_generated_scene(generate_scene("simple", seed=s), params=params)
+        for s in seeds
+    ])
+
+
+@pytest.mark.slow
+def test_shardmap_rollout_matches_batched():
+    """One-scene-per-device shard_map rollout (per-device plan gate) must
+    bit-match the vmapped any-regen-gated rollout: the gates differ in
+    which poses COMPUTE a plan, never in which plans take effect."""
+    from nextbestpath_tpu.eval.scan_rollout import BatchedScanRollout
+    from nextbestpath_tpu.models import NBP
+    from nextbestpath_tpu.parallel.spmd import ShardedScanRollout
+
+    params, assets = _tiny_assets()
+    model = NBP(width=8)
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 5)))
+    mesh = make_mesh(2)
+    res_s = ShardedScanRollout(assets, model, variables, mesh,
+                               params=params).run(n_poses=3, seed=8)
+    res_b = BatchedScanRollout(assets, model, variables,
+                               params=params).run(n_poses=3, seed=8)
+    for rs, rb in zip(res_s, res_b):
+        assert rs.coverage_evolution == rb.coverage_evolution
+
+
+@pytest.mark.slow
+def test_shardmap_collection_matches_unsharded():
+    """Sharded collection must produce the identical replay stream (same
+    per-scene programs + seeds; one launch instead of n)."""
+    from nextbestpath_tpu.models import NBP
+    from nextbestpath_tpu.parallel.spmd import ShardedScanCollection
+    from nextbestpath_tpu.train.replay import ReplayDB
+    from nextbestpath_tpu.train.scan_collection import (
+        ScanCollection,
+        collect_trajectory_scan,
+    )
+
+    params, assets = _tiny_assets()
+    model = NBP(width=8)
+    variables = jax.jit(lambda k, x: model.init(k, x, train=True))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 5)))
+    mesh = make_mesh(2)
+    db_s, db_u = ReplayDB(), ReplayDB()
+    covs_s = ShardedScanCollection(assets, model, mesh, params=params
+                                   ).collect_all(variables, db_s, seed=5,
+                                                 n_poses=4)
+    col = ScanCollection(assets, model, params=params)
+    covs_u = [collect_trajectory_scan(col, i, variables, db_u, seed=5 + i,
+                                      n_poses=4) for i in range(2)]
+    assert covs_s == covs_u
+    assert len(db_s) == len(db_u) > 0
+    for a, b in zip(db_s.entries, db_u.entries):
+        assert np.array_equal(a.model_input, b.model_input)
+        assert np.array_equal(a.gt_layout, b.gt_layout)
+        assert np.array_equal(a.pixels, b.pixels)
+        assert np.allclose(a.gains, b.gains)
+        assert a.pose_i == b.pose_i
+
+
+def test_train_nbp_dp_matches_single_device():
+    """The mesh-sharded inner training loop (micro batches split over the
+    axis, XLA-inserted grad psum, GSPMD-global BatchNorm stats) must match
+    the single-device train_nbp on the same replay data."""
+    from nextbestpath_tpu.models import NBP
+    from nextbestpath_tpu.parallel.dp import train_nbp_dp
+    from nextbestpath_tpu.train.replay import ReplayDB
+    from nextbestpath_tpu.train.train_nbp import init_train_state, train_nbp
+
+    S, C = 64, 5
+    model = NBP(width=8)
+    params = _tiny_params()
+
+    def run(mesh):
+        rng = np.random.RandomState(0)
+        db = ReplayDB()
+        for i in range(12):
+            db.append(rng.rand(C, S, S).astype(np.float16),
+                      (rng.rand(S, S) > 0.5).astype(np.uint8),
+                      rng.randint(0, 16, size=(3, 3)).astype(np.int32),
+                      rng.rand(3).astype(np.float32) * 5, pose_i=20 + i)
+        val = db.extract_validation(num=4)
+        state = init_train_state(model, jax.random.PRNGKey(1), lr=1e-3)
+        if mesh is None:
+            return train_nbp(model, state, db, val, current_epoch=2,
+                             params=params, num_epochs=2, seed=7,
+                             verbose=False)
+        return train_nbp_dp(model, state, db, val, current_epoch=2,
+                            mesh=mesh, params=params, num_epochs=2, seed=7,
+                            verbose=False)
+
+    _, tl1, vl1 = run(None)
+    _, tl8, vl8 = run(make_mesh(8))
+    assert abs(tl1 - tl8) < 1e-2 * max(1.0, abs(tl1))
+    assert abs(vl1 - vl8) < 1e-2 * max(1.0, abs(vl1))
+
+
+@pytest.mark.slow
+def test_run_training_nbp_dp_smoke(tmp_path):
+    """The distributed epoch driver runs end to end on a 2-device mesh:
+    sharded collection fills the DB, the sharded inner loop trains, and a
+    best-val checkpoint lands."""
+    import os
+
+    from nextbestpath_tpu.models import NBP
+    from nextbestpath_tpu.train.driver import run_training_nbp_dp
+
+    params, assets = _tiny_assets()
+    mesh = make_mesh(2)
+    run_training_nbp_dp(
+        assets, mesh, params=params, epochs=2, n_poses=4,
+        weights_dir=str(tmp_path), log_dir=str(tmp_path),
+        model=NBP(width=8), model_tag="dp_smoke")
+    assert os.path.exists(tmp_path / "dp_smoke_loss.json")
