@@ -14,3 +14,10 @@ from .scene_assets import (
     pack_scene,
 )
 from .dataset import SceneDataset, get_dataloader
+from .object_dataset import (
+    FrameDataset,
+    ObjectDataset,
+    adjust_mesh,
+    adjust_mesh_diagonally,
+    remove_heavy_files,
+)

@@ -14,8 +14,15 @@ from .scatter2d import (
     height_bins,
     img_coords,
     scatter_count_img,
+    scatter_mean_img,
 )
-from .coverage import compute_auc, coverage_percentage, masked_min_dists, subsample_buffer
+from .coverage import (
+    compute_auc,
+    coverage_percentage,
+    masked_min_dists,
+    pc_similarity,
+    subsample_buffer,
+)
 from .obstacle_map import gt_obstacle_map, plane_section_segments, rasterize_segments
 from .knn import knn_indices, knn_points
 from .depth_sample import grid_sample_bilinear, signed_distance_to_depth
@@ -24,4 +31,9 @@ from .view_state import (
     compute_view_state,
     normalize_points_in_prediction_box,
     view_space_permutation,
+)
+from .pc_collision import (
+    collision_with_occupancy_field,
+    segment_intersects_point_cloud,
+    segment_point_distances,
 )

@@ -152,3 +152,30 @@ def count_img(points: jnp.ndarray, valid: jnp.ndarray, cam_xyz: jnp.ndarray,
     """Single count image of a 3D point buffer (no height split)."""
     return scatter_count_img(ego2d(points, cam_xyz), valid, grid_size,
                              grid_range, count=count)
+
+
+def scatter_mean_img(points_2d: jnp.ndarray, values: jnp.ndarray,
+                     valid: jnp.ndarray, grid_size: int,
+                     grid_range: Tuple[float, float]) -> jnp.ndarray:
+    """Averaged-value scatter: each pixel holds the MEAN of the values of
+    the points that land in it (zero where empty).
+
+    Analog of the reference's averaged-occupancy projection
+    (map_points_to_grid_optimized_poster, next_best_path/utility/utils.py
+    :319-358: index_put_ accumulate of values and of ones, then divide where
+    count > 0); its y-chunked companion batch_transform_points_optimized_poster
+    (:266-317) is covered by ego2d + bucketize_bins. Used to project a proxy
+    occupancy field into the planner's 2-D frame.
+    """
+    ij = img_coords(points_2d, grid_size, grid_range)
+    ok = (
+        valid
+        & (ij[:, 0] >= 0) & (ij[:, 0] < grid_size)
+        & (ij[:, 1] >= 0) & (ij[:, 1] < grid_size)
+    )
+    ij = jnp.clip(ij, 0, grid_size - 1)
+    zeros = jnp.zeros((grid_size, grid_size), jnp.float32)
+    acc = zeros.at[ij[:, 0], ij[:, 1]].add(
+        jnp.where(ok, values.reshape(-1), 0.0))
+    cnt = zeros.at[ij[:, 0], ij[:, 1]].add(ok.astype(jnp.float32))
+    return jnp.where(cnt > 0, acc / jnp.maximum(cnt, 1.0), 0.0)

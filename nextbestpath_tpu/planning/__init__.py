@@ -18,3 +18,8 @@ from .candidates import (
     score_candidates_test,
     score_candidates_train,
 )
+from .bidirectional import (
+    bidirectional_grid_path,
+    bidirectional_path_positions,
+    pc_edge_blocked,
+)
