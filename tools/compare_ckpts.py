@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Head-to-head checkpoint comparison on held-out scenes, one compile.
+
+Promotion gate for continued-training runs: evaluates two NBP checkpoints
+through the SAME BatchedScanRollout program (weights are runtime args, so
+both checkpoints share one compiled executable) on the held-out procgen
+scenes used by tools/eval_vs_random_r2.py, and prints per-difficulty AUC
+plus an overall PROMOTE/KEEP verdict (mean AUC across difficulties).
+
+Run on the TPU (ambient env):
+    python tools/compare_ckpts.py --ckpt-a weights/nbp/nbp_best_val.ckpt \
+        --ckpt-b weights/nbp/nbp_r2c_best_val.ckpt
+"""
+
+import argparse
+import json
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+DIFFS = ("simple", "normal", "hard", "insane")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt-a", default="weights/nbp/nbp_best_val.ckpt")
+    ap.add_argument("--ckpt-b", required=True)
+    ap.add_argument("--poses", type=int, default=40)
+    ap.add_argument("--scenes-per-diff", type=int, default=2)
+    ap.add_argument("--seeds", type=int, default=2)
+    ap.add_argument("--out", default="data/compare_ckpts.json")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nextbestpath_tpu.assets import generate_scene, pack_generated_scene
+    from nextbestpath_tpu.assets.scene_assets import pad_assets_to_common
+    from nextbestpath_tpu.config import default_params
+    from nextbestpath_tpu.eval.scan_rollout import BatchedScanRollout
+    from nextbestpath_tpu.models import NBP
+    from nextbestpath_tpu.utils.checkpoint import load_checkpoint
+
+    params = default_params()
+    # Held-out seed recipe shared with eval_vs_random_r2.py (disjoint from
+    # training: parse_procgen(base=8) + 500).
+    assets = []
+    for i, diff in enumerate(DIFFS):
+        for j in range(args.scenes_per_diff):
+            assets.append(pack_generated_scene(
+                generate_scene(diff, seed=8 + i * 37 + j + 500),
+                params=params))
+    assets = pad_assets_to_common(assets)
+
+    model = NBP(dtype=jnp.bfloat16)
+    init = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 5)))
+    var_a, _, ep_a, _ = load_checkpoint(args.ckpt_a, init)
+    var_b, _, ep_b, _ = load_checkpoint(args.ckpt_b, init)
+    print(f"# A = {args.ckpt_a} (epoch {ep_a}), "
+          f"B = {args.ckpt_b} (epoch {ep_b})", file=sys.stderr, flush=True)
+
+    rollout = BatchedScanRollout(assets, model, var_a, params=params)
+
+    aucs = {"a": {a.name: [] for a in assets},
+            "b": {a.name: [] for a in assets}}
+    for s in range(args.seeds):
+        for key, var in (("a", var_a), ("b", var_b)):
+            for a, r in zip(assets, rollout.run(n_poses=args.poses,
+                                                seed=1000 + 97 * s,
+                                                variables=var)):
+                aucs[key][a.name].append(r.auc)
+            print(f"# seed block {s}, ckpt {key} done", file=sys.stderr,
+                  flush=True)
+
+    table = {}
+    for i, diff in enumerate(DIFFS):
+        names = [a.name for a in assets if f"_{diff}_" in a.name]
+        table[diff] = {
+            k: round(float(np.mean([np.mean(aucs[k][n]) for n in names])), 4)
+            for k in ("a", "b")
+        }
+    mean_a = float(np.mean([table[d]["a"] for d in DIFFS]))
+    mean_b = float(np.mean([table[d]["b"] for d in DIFFS]))
+    verdict = "PROMOTE" if mean_b > mean_a else "KEEP"
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump({"poses": args.poses, "ckpt_a": args.ckpt_a,
+                   "ckpt_b": args.ckpt_b, "epoch_a": int(ep_a),
+                   "epoch_b": int(ep_b), "per_difficulty": table,
+                   "mean_auc_a": round(mean_a, 4),
+                   "mean_auc_b": round(mean_b, 4),
+                   "verdict": verdict}, f, indent=2)
+
+    print("\n| difficulty | AUC (A) | AUC (B) |")
+    print("|---|---|---|")
+    for diff in DIFFS:
+        print(f"| {diff} | {table[diff]['a']} | {table[diff]['b']} |")
+    print(f"\nmean AUC: A {mean_a:.4f} vs B {mean_b:.4f} -> {verdict}")
+
+
+if __name__ == "__main__":
+    main()
