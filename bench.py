@@ -18,11 +18,6 @@ import os
 import sys
 import time
 
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-)
-
 REFERENCE_POSES_PER_SEC = 0.5
 
 
@@ -50,6 +45,13 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # Persistent cache scoped by the live runtime fingerprint (libtpu build
+    # etc.) so a stale AOT executable from an older build can never load
+    # (utils/jaxcache.py; MULTICHIP_r02.json failure mode).
+    from nextbestpath_tpu.utils.jaxcache import enable_cache
+
+    enable_cache(verbose=True)
 
     from nextbestpath_tpu.assets import generate_scene, pack_generated_scene
     from nextbestpath_tpu.config import default_params
@@ -112,19 +114,33 @@ def main():
     # Fully-jitted scan rollout (one device program per rollout); vmapped
     # over scenes when --batch > 1.
     print("# init done, building scan rollout", file=sys.stderr, flush=True)
+    def warmup(r):
+        """First compile, with one cold retry: if a poisoned persistent-cache
+        entry fails to load (AOT/libtpu/machine-feature skew), disable the
+        cache, clear in-memory caches and recompile from scratch."""
+        try:
+            r.run(n_poses=poses, seed=args.seed)
+        except Exception as e:  # noqa: BLE001 — retry cold on any load skew
+            print(f"# warmup failed ({type(e).__name__}: {e}); retrying with "
+                  "persistent compilation cache disabled", file=sys.stderr,
+                  flush=True)
+            jax.config.update("jax_compilation_cache_dir", None)
+            jax.clear_caches()
+            r.run(n_poses=poses, seed=args.seed)
+
     if args.batch > 1:
         rollout = BatchedScanRollout(all_assets, model, variables,
                                      params=params)
         print("# batched rollout constructed; warmup (compiles)",
               file=sys.stderr, flush=True)
-        rollout.run(n_poses=poses, seed=args.seed)
+        warmup(rollout)
         print("# warmup done", file=sys.stderr, flush=True)
         res = rollout.run(n_poses=poses, seed=args.seed + 100)[0]
     else:
         rollout = ScanRollout(assets, model, variables, params=params)
         print("# scan rollout constructed; warmup (compiles)", file=sys.stderr,
               flush=True)
-        rollout.run(n_poses=poses, seed=args.seed)  # compile + warmup
+        warmup(rollout)  # compile + warmup
         print("# warmup done", file=sys.stderr, flush=True)
         res = rollout.run(n_poses=poses, seed=args.seed + 1)
 

@@ -133,7 +133,19 @@ class NBPPlanningRollout:
 
     def __init__(self, assets: SceneAssets, nbp_model: NBP, nbp_variables,
                  params: Optional[Params] = None, seed: int = 8,
-                 interpret: Optional[bool] = None):
+                 interpret: Optional[bool] = None,
+                 shared_rng: bool = False, max_plan_retries: int = 8):
+        # shared_rng: derive per-pose keys exactly like ScanRollout._pre
+        # (one 7-way split per pose with fixed roles) instead of the legacy
+        # sequential _next_key() stream, and use the scan's stride-based
+        # coverage subsample. With shared_rng=True and max_plan_retries
+        # matching the scan's, both drivers consume identical key streams at
+        # identical decision points, so their coverage curves agree to float
+        # tolerance (tests/test_scan_vs_host.py) — the host rollout is the
+        # reference-faithful port, the scan is the perf path, and this mode
+        # is the proof the seam between them preserves the planner.
+        self.shared_rng = bool(shared_rng)
+        self.max_plan_retries = int(max_plan_retries)
         self.params = params or default_params()
         p = self.params
         self.assets = assets
@@ -176,6 +188,21 @@ class NBPPlanningRollout:
         self.key, k = jax.random.split(self.key)
         return k
 
+    def _pose_keys(self):
+        """Per-pose role keys, identical to ScanRollout._pre's 7-way split.
+
+        Returns None in legacy mode (sequential stream)."""
+        if not self.shared_rng:
+            return None
+        key, k_cov, k_obs, k_rot, k_rot2, k_move, k_plan = (
+            jax.random.split(self.key, 7))
+        self.key = key
+        return {"cov": k_cov, "obs": k_obs, "rot": k_rot, "rot2": k_rot2,
+                "move": k_move, "plan": k_plan}
+
+    def _k(self, ks, role):
+        return self._next_key() if ks is None else ks[role]
+
     def _pose5(self, idx_lh_rot: Tuple[int, int, int]) -> jnp.ndarray:
         i_l, i_h, rot = idx_lh_rot
         pos = self._positions_np[i_l, i_h]
@@ -217,8 +244,10 @@ class NBPPlanningRollout:
         value_map = None
 
         for pose_i in range(n_poses):
+            ks = self._pose_keys()
             cov = float(coverage_percentage(self.gt, pc.points, pc.count,
-                                            self._next_key()))
+                                            self._k(ks, "cov"),
+                                            fast_sampling=self.shared_rng))
             coverage_evolution.append(cov)
             if verbose and pose_i % 10 == 0:
                 print(f"pose {pose_i}: coverage {cov:.4f} pc {int(pc.count)}")
@@ -226,7 +255,7 @@ class NBPPlanningRollout:
             cur_pose5 = self._pose5(cur)
             # Loop-start frame re-processing.
             pc = observe_current(
-                self.tri_soa, self.n_tris, cur_pose5, pc, self._next_key(),
+                self.tri_soa, self.n_tris, cur_pose5, pc, self._k(ks, "obs"),
                 self.intr, n_slots=int(p.points_per_frame),
                 gathering_factor=float(p.gathering_factor),
                 sensor_range=float(p.sensor_range), interpret=self.interpret,
@@ -279,19 +308,20 @@ class NBPPlanningRollout:
                 path, path_record, edge_memo = self._plan(
                     scores, layout, cur_pose5, cur, edge_memo, banned,
                     value_map[0], visited_rot, gt_eb,
+                    plan_key=ks["plan"] if ks else None,
                 )
             else:
                 value_map, _ = self._forward(self.variables, model_input)
 
             # Choose the next index (nbp_planning.py:252-266).
             if not path:
-                rot = int(jax.random.randint(self._next_key(), (), 0,
+                rot = int(jax.random.randint(self._k(ks, "rot"), (), 0,
                                              self.n_azim))
                 nxt = (cur[0], cur[1], rot)
             else:
                 nxt = path[path_record]
                 if (nxt[0], nxt[1], nxt[2]) in set(idx_history):
-                    rot = int(jax.random.randint(self._next_key(), (), 0,
+                    rot = int(jax.random.randint(self._k(ks, "rot2"), (), 0,
                                                  self.n_azim))
                     nxt = (nxt[0], nxt[1], rot)
 
@@ -299,7 +329,7 @@ class NBPPlanningRollout:
             new_pose5 = self._pose5(nxt)
             pc, traj, _ = move_and_capture(
                 self.tri_soa, self.n_tris, cur_pose5, new_pose5, pc, traj,
-                self._next_key(), self.intr,
+                self._k(ks, "move"), self.intr,
                 n_steps=int(p.n_interpolation_steps), n_azim=self.n_azim,
                 n_slots=int(p.points_per_frame),
                 gathering_factor=float(p.gathering_factor),
@@ -345,18 +375,19 @@ class NBPPlanningRollout:
         return memo
 
     def _plan(self, scores, layout, cur_pose5, cur, edge_memo, banned,
-              value_map, visited_rot, gt_eb, max_retries: int = 8):
+              value_map, visited_rot, gt_eb, plan_key=None):
         """Field -> goal -> path -> first-segment GT check -> retry loop.
 
         Returns (path, path_record, edge_memo): the memo updated with any
         first-segment collisions found during the retries (banned is never
-        modified here)."""
+        modified here). plan_key (shared-RNG mode) is used for EVERY retry's
+        orientation pick, matching ScanRollout._plan's single k_plan."""
         p = self.params
         layout_blocked = layout_edge_blocked(
             self.tables.positions, cur_pose5[:3], layout, self.L, self.H,
             layout_size=int(p.pc2img_size[0]),
         )
-        for _ in range(max_retries):
+        for _ in range(self.max_plan_retries):
             blocked = apply_edge_memo(layout_blocked, edge_memo)
             dist = bfs_distance_field(blocked, jnp.asarray([cur[0], cur[1]]),
                                       self.L, self.H)
@@ -370,7 +401,8 @@ class NBPPlanningRollout:
             rots = pick_orientations(
                 path_arr, jnp.arange(int(p.max_path_len)) < path_len,
                 value_map, self.tables.positions, cur_pose5[:3], visited_rot,
-                self._next_key(), n_azim=self.n_azim,
+                plan_key if plan_key is not None else self._next_key(),
+                n_azim=self.n_azim,
                 value_map_size=int(p.value_map_size[0]),
             )
             n = int(path_len)

@@ -160,6 +160,13 @@ def dp_rollout_demo(mesh: Mesh, n_scenes: int = 2, n_poses: int = 3,
 # MultiSteps accumulation, plateau LR). Collection side: parallel/spmd.py.
 # ---------------------------------------------------------------------------
 
+# key (id(model), id(optimizer), id(mesh), axis) -> (jitted_step, pins).
+# The value PINS the keyed objects: as long as an entry lives, its model/
+# optimizer/mesh cannot be garbage-collected, so a freed id() can never be
+# recycled by a new object and alias a stale jitted step (the id()-keyed
+# cache bug class from the round-2 correctness sweep; optax
+# GradientTransformations are NamedTuples and don't support weakrefs, so
+# pinning is the airtight variant of weak-keying here).
 _DP_STEP_CACHE = {}
 
 
@@ -180,8 +187,9 @@ def make_dp_train_step_ds(model: NBP, optimizer, mesh: Mesh,
     from ..train.train_nbp import _gather_pred_values
 
     key = (id(model), id(optimizer), id(mesh), axis)
-    if key in _DP_STEP_CACHE:
-        return _DP_STEP_CACHE[key]
+    hit = _DP_STEP_CACHE.get(key)
+    if hit is not None:
+        return hit[0]
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(axis))
@@ -219,7 +227,7 @@ def make_dp_train_step_ds(model: NBP, optimizer, mesh: Mesh,
         out_shardings=(repl, repl, repl),
         donate_argnums=(0, 1),
     )
-    _DP_STEP_CACHE[key] = jitted
+    _DP_STEP_CACHE[key] = (jitted, (model, optimizer, mesh))
     return jitted
 
 

@@ -22,8 +22,9 @@ def main():
     ap.add_argument("--out", default="weights/scone")
     args = ap.parse_args()
 
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    from nextbestpath_tpu.utils.jaxcache import enable_cache
+
+    enable_cache()
 
     from nextbestpath_tpu.train.pretrain_scone import (
         make_pretrain_sample, pretrain_scone_occ, pretrain_scone_vis)

@@ -25,8 +25,9 @@ def main():
                          "one compile per scene shape)")
     args = ap.parse_args()
 
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    from nextbestpath_tpu.utils.jaxcache import enable_cache
+
+    enable_cache()
 
     import jax
     import jax.numpy as jnp

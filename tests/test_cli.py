@@ -14,6 +14,8 @@ import json
 import os
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -25,6 +27,7 @@ def _load_script(name):
     return mod
 
 
+@pytest.mark.slow
 def test_nbp_planning_cli_host_path(tmp_path, monkeypatch):
     out = tmp_path / "results.json"
     mod = _load_script("test_nbp_planning")

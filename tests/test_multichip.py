@@ -6,6 +6,8 @@ XLA-inserted gradient reduction) and the scene-sharded batched scan rollout
 (the reference's one-scene-per-GPU DDP, macarons_utils.py:177-326).
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -74,19 +76,73 @@ def test_sharded_batched_rollout():
 
 
 def test_dryrun_env_bootstrap_logic():
-    """__graft_entry__ decides re-exec purely from env vars and builds a
-    clean CPU env (no axon plugin on PYTHONPATH, device count set)."""
+    """__graft_entry__ builds a clean CPU child env (no axon plugin on
+    PYTHONPATH, device count set, marker present, cache fingerprinted) and
+    only trusts its own marker when deciding to run in-process."""
     import __graft_entry__ as ge
 
     env = ge._cpu_mesh_env(8)
     assert env["JAX_PLATFORMS"] == "cpu"
     assert "--xla_force_host_platform_device_count=8" in env["XLA_FLAGS"]
     assert all("axon" not in p for p in env["PYTHONPATH"].split(":"))
+    assert env[ge._CLEAN_MARKER] == "8"
+    # The child cache is a fingerprinted subdirectory, never the bare root
+    # (a shared root is how stale AOT entries poisoned rounds 1-2).
+    cache = env["JAX_COMPILATION_CACHE_DIR"]
+    assert cache.startswith(os.path.join(ge._REPO, ".jax_cache") + os.sep)
+    assert "cpu-" in os.path.basename(cache)
+    # Cold-retry env: caching fully disabled.
+    cold = ge._cpu_mesh_env(8, use_cache=False)
+    assert "JAX_COMPILATION_CACHE_DIR" not in cold
+    assert cold["NBPT_NO_CACHE"] == "1"
 
-    # The test process itself runs under conftest's 8-device CPU setup.
-    assert ge._have_cpu_mesh(8)
-    assert ge._have_cpu_mesh(2)
-    assert not ge._have_cpu_mesh(64)
+    # Env vars alone (even a full CPU-mesh setup) must NOT be trusted:
+    # only the marker set by _cpu_mesh_env counts.
+    assert not ge._in_clean_cpu_child(8) or os.environ.get(ge._CLEAN_MARKER)
+    old = os.environ.pop(ge._CLEAN_MARKER, None)
+    try:
+        assert not ge._in_clean_cpu_child(1)
+        os.environ[ge._CLEAN_MARKER] = "8"
+        assert ge._in_clean_cpu_child(8)
+        assert ge._in_clean_cpu_child(2)
+        assert not ge._in_clean_cpu_child(64)
+    finally:
+        if old is None:
+            os.environ.pop(ge._CLEAN_MARKER, None)
+        else:
+            os.environ[ge._CLEAN_MARKER] = old
+
+
+def test_dp_step_cache_pins_key_objects():
+    """A GC'd model/optimizer must not be able to alias a cache entry: the
+    cache value pins the keyed objects, so their id()s can never be
+    recycled while the entry exists (parallel/dp.py _DP_STEP_CACHE)."""
+    import gc
+    import weakref
+
+    import optax
+
+    from nextbestpath_tpu.models.unet import NBP
+    from nextbestpath_tpu.parallel.dp import (
+        _DP_STEP_CACHE,
+        make_dp_train_step_ds,
+    )
+
+    model = NBP(width=4)
+    tx = optax.adamw(1e-3)
+    mesh = make_mesh(1)
+    step = make_dp_train_step_ds(model, tx, mesh)
+    assert make_dp_train_step_ds(model, tx, mesh) is step  # cache hit
+    key = (id(model), id(tx), id(mesh), "data")
+    assert key in _DP_STEP_CACHE
+    ref = weakref.ref(model)
+    del model, tx, mesh, step
+    gc.collect()
+    # Pinned by the cache entry -> still alive -> id cannot be reused.
+    assert ref() is not None
+    del _DP_STEP_CACHE[key]
+    gc.collect()
+    assert ref() is None  # and the pin is exactly the cache entry
 
 
 def _tiny_params():

@@ -17,8 +17,11 @@ import json
 import os
 import sys
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from nextbestpath_tpu.utils.jaxcache import enable_cache  # noqa: E402
+
+enable_cache()
 
 DIFFS = ("simple", "normal", "hard", "insane")
 
@@ -31,29 +34,25 @@ def main():
     ap.add_argument("--scenes-per-diff", type=int, default=2)
     ap.add_argument("--seeds", type=int, default=2)
     ap.add_argument("--out", default="data/compare_ckpts.json")
+    ap.add_argument("--min-margin", type=float, default=0.005,
+                    help="minimum mean-AUC improvement required for a "
+                         "PROMOTE verdict (noise floor at 2x2 per level)")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from nextbestpath_tpu.assets import generate_scene, pack_generated_scene
-    from nextbestpath_tpu.assets.scene_assets import pad_assets_to_common
     from nextbestpath_tpu.config import default_params
+    from nextbestpath_tpu.eval.heldout import held_out_assets
     from nextbestpath_tpu.eval.scan_rollout import BatchedScanRollout
     from nextbestpath_tpu.models import NBP
     from nextbestpath_tpu.utils.checkpoint import load_checkpoint
 
     params = default_params()
-    # Held-out seed recipe shared with eval_vs_random_r2.py (disjoint from
-    # training: parse_procgen(base=8) + 500).
-    assets = []
-    for i, diff in enumerate(DIFFS):
-        for j in range(args.scenes_per_diff):
-            assets.append(pack_generated_scene(
-                generate_scene(diff, seed=8 + i * 37 + j + 500),
-                params=params))
-    assets = pad_assets_to_common(assets)
+    # Shared held-out recipe (eval/heldout.py) — the same scenes as the
+    # random-walk baseline table in eval_vs_random_r2.py, by construction.
+    assets = held_out_assets(params, scenes_per_diff=args.scenes_per_diff)
 
     model = NBP(dtype=jnp.bfloat16)
     init = jax.jit(lambda k, x: model.init(k, x, train=False))(
@@ -76,18 +75,23 @@ def main():
             print(f"# seed block {s}, ckpt {key} done", file=sys.stderr,
                   flush=True)
 
-    table = {}
-    for i, diff in enumerate(DIFFS):
-        names = [a.name for a in assets if f"_{diff}_" in a.name]
-        table[diff] = {
-            k: round(float(np.mean([np.mean(aucs[k][n]) for n in names])), 4)
-            for k in ("a", "b")
-        }
-    mean_a = float(np.mean([table[d]["a"] for d in DIFFS]))
-    mean_b = float(np.mean([table[d]["b"] for d in DIFFS]))
-    verdict = "PROMOTE" if mean_b > mean_a else "KEEP"
+    # Verdict from UNROUNDED means with a minimum margin: at 2 scenes x 2
+    # seeds per difficulty a rounding tie or a noise-level win must not
+    # decide a promotion.
+    table, means = {}, {}
+    for k in ("a", "b"):
+        per_diff = []
+        for diff in DIFFS:
+            names = [a.name for a in assets if f"_{diff}_" in a.name]
+            per_diff.append(float(np.mean([np.mean(aucs[k][n])
+                                           for n in names])))
+        means[k] = float(np.mean(per_diff))
+        for diff, v in zip(DIFFS, per_diff):
+            table.setdefault(diff, {})[k] = round(v, 4)
+    mean_a, mean_b = means["a"], means["b"]
+    verdict = "PROMOTE" if mean_b > mean_a + args.min_margin else "KEEP"
 
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump({"poses": args.poses, "ckpt_a": args.ckpt_a,
                    "ckpt_b": args.ckpt_b, "epoch_a": int(ep_a),

@@ -9,8 +9,11 @@ import json
 import os
 import sys
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 sys.path.insert(0, "/root/repo")
+
+from nextbestpath_tpu.utils.jaxcache import enable_cache  # noqa: E402
+
+enable_cache()
 
 import jax
 import jax.numpy as jnp

@@ -15,8 +15,11 @@ import json
 import os
 import sys
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from nextbestpath_tpu.utils.jaxcache import enable_cache  # noqa: E402
+
+enable_cache()
 
 DIFFS = ("simple", "normal", "hard", "insane")
 
@@ -37,26 +40,18 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from nextbestpath_tpu.assets import generate_scene, pack_generated_scene
-    from nextbestpath_tpu.assets.scene_assets import pad_assets_to_common
     from nextbestpath_tpu.config import default_params
+    from nextbestpath_tpu.eval.heldout import held_out_assets
     from nextbestpath_tpu.eval.random_walk import ScanRandomWalk
     from nextbestpath_tpu.eval.scan_rollout import BatchedScanRollout
     from nextbestpath_tpu.models import NBP
     from nextbestpath_tpu.utils.checkpoint import load_checkpoint
 
     params = default_params()
-    # Same held-out seeds as the training driver's eval split
-    # (train_nbp.py: parse_procgen(base=8) + 500).
-    assets = []
-    for i, diff in enumerate(DIFFS):
-        if diff not in diffs:
-            continue
-        for j in range(args.scenes_per_diff):
-            assets.append(pack_generated_scene(
-                generate_scene(diff, seed=8 + i * 37 + j + 500),
-                params=params))
-    assets = pad_assets_to_common(assets)
+    # Shared held-out recipe (eval/heldout.py): same scenes as the
+    # promotion gate in tools/compare_ckpts.py, by construction.
+    assets = held_out_assets(params, scenes_per_diff=args.scenes_per_diff,
+                             difficulties=diffs)
 
     model = NBP(dtype=jnp.bfloat16)
     variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
@@ -99,7 +94,7 @@ def main():
                            rw_final=round(rw_f, 4),
                            nbp_wins=bool(nbp > rw))
 
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump({"poses": args.poses, "weights_epoch": int(epoch),
                    "per_scene": results, "per_difficulty": table}, f,

@@ -16,8 +16,11 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from nextbestpath_tpu.utils.jaxcache import enable_cache  # noqa: E402
+
+enable_cache()
 
 
 def bench(fn, *args, iters=20, warmup=2):

@@ -2,10 +2,12 @@
 import os
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 import sys
 
 sys.path.insert(0, "/root/repo")
+from nextbestpath_tpu.utils.jaxcache import enable_cache  # noqa: E402
+
+enable_cache()
 import jax
 import jax.numpy as jnp
 

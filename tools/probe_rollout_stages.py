@@ -1,7 +1,9 @@
 """Bisect rollout stages on the current JAX backend (debug utility)."""
 import os, time
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 import sys; sys.path.insert(0, "/root/repo")
+from nextbestpath_tpu.utils.jaxcache import enable_cache  # noqa: E402
+
+enable_cache()
 import jax, jax.numpy as jnp, numpy as np
 print("backend:", jax.default_backend(), flush=True)
 from nextbestpath_tpu.assets import generate_scene, pack_generated_scene

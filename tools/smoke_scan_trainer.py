@@ -10,9 +10,12 @@ import shutil
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # ambient env says axon; force CPU
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from nextbestpath_tpu.utils.jaxcache import enable_cache  # noqa: E402
+
+enable_cache()
 
 from nextbestpath_tpu.assets import generate_scene, pack_generated_scene
 from nextbestpath_tpu.assets.scene_assets import pad_assets_to_common

@@ -37,8 +37,9 @@ def main():
                     help="32x56 frames + small buffers (CPU smoke drives)")
     args = ap.parse_args()
 
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    from nextbestpath_tpu.utils.jaxcache import enable_cache
+
+    enable_cache()
 
     import jax
 

@@ -69,8 +69,9 @@ def main():
                          "the AiMDoom_<level>_best_val.pth analog)")
     args = ap.parse_args()
 
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    from nextbestpath_tpu.utils.jaxcache import enable_cache
+
+    enable_cache()
 
     from nextbestpath_tpu.config import default_params, load_params
     from nextbestpath_tpu.assets import (generate_scene, load_scene_dir,
