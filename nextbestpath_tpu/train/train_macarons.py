@@ -183,6 +183,7 @@ def train_macarons_online(
     n_proxy_tokens: int = 512,
     use_perfect_depth: bool = True,
     learn_depth: bool = False,
+    log_depth_error: bool = False,
     memory=None,
     scene_memory_path: Optional[str] = None,
     memory_replay_loops: int = 0,
@@ -458,7 +459,8 @@ def train_macarons_online(
     remap_every = int(p.get("remap_every_n_poses", 95))
 
     logs = {"coverage": [], "occ_loss": [], "cov_loss": [], "gain": [],
-            "depth_loss": [], "replay_occ_loss": [], "replay_cov_loss": [],
+            "depth_loss": [], "depth_abs_err": [], "store_coverage": [],
+            "replay_occ_loss": [], "replay_cov_loss": [],
             "replay_depth_loss": []}
     # Coverage epsilon tracks the stores' voxel resolution (testers/scene.py
     # :544-545: eps = 2 * test_resolution * scale) — a hard-coded 0.05 here
@@ -525,6 +527,25 @@ def train_macarons_online(
                                     x_alpha, R_a, T_a)
         else:
             zbuf_used = zbuf
+        if log_depth_error and need_rgb and have_context:
+            # Depth-quality metric: mean |predicted - rendered zbuf| over
+            # pixels valid in BOTH maps (the predicted map carries the
+            # obtain_depth error mask as -1; zbuf uses -1 background).
+            # In perfect-depth mode the inference pass runs solely for this
+            # metric so the learning curve is observable without routing
+            # the (possibly untrained) prediction into the mapping.
+            if use_perfect_depth:
+                x_alpha = jnp.stack([frame_hist[-2][0], frame_hist[-3][0]])
+                R_a = jnp.stack([frame_hist[-2][1], frame_hist[-3][1]])
+                T_a = jnp.stack([frame_hist[-2][2], frame_hist[-3][2]])
+                pred = depth_infer(state.model.depth_vars, rgb, R, T,
+                                   x_alpha, R_a, T_a)
+            else:
+                pred = zbuf_used
+            valid = (pred > 0) & (zbuf > 0)
+            err = jnp.sum(jnp.abs(pred - zbuf) * valid) / jnp.maximum(
+                jnp.sum(valid), 1)
+            logs["depth_abs_err"].append(float(err))
         if memory is not None and scene_memory_path:
             traj_slot = memory.current_trajectory()
             memory.save_frame(scene_memory_path, traj_slot, frame_nb,
@@ -549,6 +570,14 @@ def train_macarons_online(
                                    gathering_factor=float(p.gathering_factor),
                                    sensor_range=float(p.sensor_range))
         surface = surface.fill(batch.points, batch.valid)
+        if log_depth_error:
+            # Mapping-quality metric: GT coverage of the SURFACE STORE —
+            # the store is filled through zbuf_used (predicted depth when
+            # use_perfect_depth=False), unlike logs["coverage"] whose
+            # point buffer follows the reference's GT-zbuf covered_scene
+            # (testers/scene.py:529-551) and is depth-model-independent.
+            logs["store_coverage"].append(float(coverage_percentage(
+                gt, surface.points, surface.count, next_key())))
         proxy = carve_with_frame(
             proxy, zbuf_used, R, T, cur_pose[:3], intr,
             score_threshold=float(p.score_threshold),

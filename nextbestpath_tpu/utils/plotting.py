@@ -78,15 +78,26 @@ def plot_coverage_curves(curves: dict, path: str) -> None:
 
 def export_blender_json(out_dir: str, points: np.ndarray,
                         trajectory: np.ndarray,
-                        colors: Optional[np.ndarray] = None) -> None:
-    """point_cloud.json + trajectory.json for vis_blender
-    (vis_blender/README.md:5-10 schema)."""
+                        colors: Optional[np.ndarray] = None,
+                        scene_name: str = "scene",
+                        start_index: int = 0) -> None:
+    """point_cloud.json + trajectory.json for vis_blender/render_results.py.
+
+    Schema matches what the reference's Blender script reads
+    (vis_blender/blender_scripts.py:9-34): point_cloud.json carries
+    ``points`` + ``colors`` (colors default to the simulator's uniform
+    gray when not given), and trajectory.json nests the camera history as
+    ``{scene_name: {str(start_index): {"X_cam_history": [...]}}}``.
+    """
     os.makedirs(out_dir, exist_ok=True)
-    pc = {"points": np.asarray(points, np.float32).tolist()}
-    if colors is not None:
-        pc["colors"] = np.asarray(colors, np.float32).tolist()
+    points = np.asarray(points, np.float32)
+    if colors is None:
+        colors = np.full_like(points, 0.8)
+    pc = {"points": points.tolist(),
+          "colors": np.asarray(colors, np.float32).tolist()}
     with open(os.path.join(out_dir, "point_cloud.json"), "w") as f:
         json.dump(pc, f)
+    traj = {scene_name: {str(start_index): {
+        "X_cam_history": np.asarray(trajectory, np.float32).tolist()}}}
     with open(os.path.join(out_dir, "trajectory.json"), "w") as f:
-        json.dump({"trajectory": np.asarray(trajectory, np.float32).tolist()},
-                  f)
+        json.dump(traj, f)

@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Single-chip multi-scene throughput comparison (honest N-scene numbers).
+
+Round-2 found that batching scenes by vmap LOWERS total throughput with a
+trained policy (the scalar any-regen gate rarely skips the plan when any of
+B scenes regenerates), leaving "how should one chip evaluate N scenes?"
+unresolved. This tool measures the three candidate modes on the real
+accelerator and prints a table:
+
+1. sequential  — N back-to-back single-scene rollouts reusing ONE cached
+                 compiled program (scene arrays are runtime args).
+2. vmap        — BatchedScanRollout (scalar any-regen gate).
+3. shard_map   — ShardedScanRollout on a 1-device mesh (per-device gate;
+                 on one device this is the vmapped body with a per-scene
+                 plan gate instead of the global one).
+
+Run on the TPU (ambient env): python tools/multi_scene_bench.py
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from nextbestpath_tpu.utils.jaxcache import enable_cache  # noqa: E402
+
+enable_cache()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scenes", type=int, default=4)
+    ap.add_argument("--poses", type=int, default=30)
+    ap.add_argument("--difficulty", default="simple")
+    ap.add_argument("--seed", type=int, default=8)
+    ap.add_argument("--weights", default="weights/nbp/nbp_best_val.ckpt")
+    ap.add_argument("--out", default="data/multi_scene_bench.json")
+    ap.add_argument("--modes", default="sequential,vmap,shardmap")
+    ap.add_argument("--quick", action="store_true",
+                    help="small frames/buffers (CPU smoke)")
+    args = ap.parse_args()
+    modes = [m.strip() for m in args.modes.split(",") if m.strip()]
+
+    import jax
+    import jax.numpy as jnp
+
+    from nextbestpath_tpu.assets import generate_scene, pack_generated_scene
+    from nextbestpath_tpu.assets.scene_assets import pad_assets_to_common
+    from nextbestpath_tpu.config import default_params
+    from nextbestpath_tpu.eval.scan_rollout import (
+        BatchedScanRollout,
+        ScanRollout,
+    )
+    from nextbestpath_tpu.models import NBP
+    from nextbestpath_tpu.parallel.mesh import make_mesh
+    from nextbestpath_tpu.parallel.spmd import ShardedScanRollout
+    from nextbestpath_tpu.utils.checkpoint import load_checkpoint
+
+    if args.quick:
+        params = default_params(
+            stratified_sampling=True, image_height=64, image_width=114,
+            points_per_frame=1024, full_pc_capacity=262144,
+            n_gt_surface_points=4096)
+    else:
+        params = default_params(stratified_sampling=True)
+    assets = pad_assets_to_common([
+        pack_generated_scene(
+            generate_scene(args.difficulty, seed=args.seed + i),
+            params=params)
+        for i in range(args.scenes)
+    ])
+    model = NBP(dtype=jnp.bfloat16)
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 5)))
+    if os.path.exists(args.weights):
+        variables, _, epoch, _ = load_checkpoint(args.weights, variables)
+        print(f"# weights {args.weights} (epoch {epoch})", file=sys.stderr,
+              flush=True)
+    else:
+        print(f"# WARNING: {args.weights} missing - raw init", file=sys.stderr)
+
+    results = {}
+
+    if "sequential" in modes:
+        # One ScanRollout per scene; the jitted program is module-cached by
+        # configuration signature, so all N share one executable.
+        rollouts = [ScanRollout(a, model, variables, params=params)
+                    for a in assets]
+        rollouts[0].run(n_poses=args.poses, seed=args.seed)  # compile
+        t0 = time.time()
+        finals = []
+        for i, r in enumerate(rollouts):
+            res = r.run(n_poses=args.poses, seed=args.seed + 100 + i)
+            finals.append(res.coverage_evolution[-1])
+        wall = time.time() - t0
+        results["sequential"] = dict(
+            total_poses_per_sec=round(args.scenes * args.poses / wall, 2),
+            per_scene_poses_per_sec=round(args.poses * args.scenes / wall
+                                          / args.scenes, 2),
+            wall_s=round(wall, 2), final_coverage=[round(f, 4)
+                                                   for f in finals])
+        print(f"# sequential: {results['sequential']}", file=sys.stderr,
+              flush=True)
+
+    if "vmap" in modes:
+        batched = BatchedScanRollout(assets, model, variables, params=params)
+        batched.run(n_poses=args.poses, seed=args.seed)  # compile
+        t0 = time.time()
+        res = batched.run(n_poses=args.poses, seed=args.seed + 100)
+        wall = time.time() - t0
+        results["vmap"] = dict(
+            total_poses_per_sec=round(args.scenes * args.poses / wall, 2),
+            wall_s=round(wall, 2),
+            final_coverage=[round(r.coverage_evolution[-1], 4) for r in res])
+        print(f"# vmap: {results['vmap']}", file=sys.stderr, flush=True)
+
+    if "shardmap" in modes:
+        mesh = make_mesh(1)
+        # One device: group the scene list into n_devices-sized chunks.
+        t_all = 0.0
+        finals = []
+        sharded = ShardedScanRollout(assets[:1], model, variables, mesh,
+                                     params=params)
+        sharded.run(n_poses=args.poses, seed=args.seed)  # compile
+        t0 = time.time()
+        for i in range(args.scenes):
+            sh = (sharded if i == 0 else
+                  ShardedScanRollout(assets[i:i + 1], model, variables, mesh,
+                                     params=params))
+            res = sh.run(n_poses=args.poses, seed=args.seed + 100 + i)
+            finals.append(res[0].coverage_evolution[-1])
+        t_all = time.time() - t0
+        results["shardmap_1dev"] = dict(
+            total_poses_per_sec=round(args.scenes * args.poses / t_all, 2),
+            wall_s=round(t_all, 2),
+            final_coverage=[round(f, 4) for f in finals])
+        print(f"# shardmap_1dev: {results['shardmap_1dev']}", file=sys.stderr,
+              flush=True)
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump({"scenes": args.scenes, "poses": args.poses,
+                   "difficulty": args.difficulty, "modes": results}, f,
+                  indent=2)
+    print(json.dumps({"multi_scene_bench": results}))
+
+
+if __name__ == "__main__":
+    main()
