@@ -105,6 +105,31 @@ class SceneAssets:
         )
 
 
+def _mirror_start_idx(idx: np.ndarray, cam_before, cam_after,
+                      mirrored_axis) -> np.ndarray:
+    """Map a 5-D start lattice index into the mirrored camera lattice.
+
+    The reference reuses settings start indices verbatim on mirrored scenes
+    (its setup_camera then resamples if the pose lands in a wall,
+    train_macarons.py:146-157). The scan collection consumes the start
+    directly, so here the start POSITION is mirrored and snapped to the
+    nearest node of the mirrored lattice instead — within 1.5 units of the
+    exact mirror (lattice step 3), which keeps it inside the same open
+    region for any scene whose free space is wider than the lattice step.
+    The orientation index is kept as-is (reference behavior).
+    """
+    idx = idx.copy()
+    for axis in mirrored_axis:
+        if axis == 1:
+            continue  # camera height is fixed; no vertical lattice axis
+        slot = 0 if axis == 0 else 2  # (i_l, i_w, i_h, i_elev, i_azim)
+        n_pose = cam_before.pose_l if axis == 0 else cam_before.pose_h
+        p = float(cam_before.x_min[axis]) + 3.0 * float(idx[slot])
+        new = int(round((-p - float(cam_after.x_min[axis])) / 3.0))
+        idx[slot] = int(np.clip(new, 0, n_pose - 1))
+    return idx
+
+
 def _pad_tris(tris: np.ndarray, pad_to: Optional[int]) -> Tuple[np.ndarray, int]:
     n = len(tris)
     if pad_to is None:
@@ -139,7 +164,11 @@ def pack_scene(
     params = params or default_params()
     rng = np.random.default_rng(seed)
     if mirrored_axis:
+        cam_before = settings.camera
         verts, settings = mirror_scene(verts, settings, mirrored_axis)
+        start_cam_idx = _mirror_start_idx(
+            np.asarray(start_cam_idx, np.int64), cam_before,
+            settings.camera, mirrored_axis)
 
     tris = verts[faces.astype(np.int64)]  # (F, 3, 3)
     tris_padded, n_tris = _pad_tris(tris.astype(np.float32), pad_tris_to)
@@ -215,16 +244,21 @@ def pad_assets_to_common(assets_list):
 
 
 def pack_generated_scene(scene: GeneratedScene, params: Optional[Params] = None,
-                         pad_tris_to: Optional[int] = None, seed: int = 0) -> SceneAssets:
+                         pad_tris_to: Optional[int] = None, seed: int = 0,
+                         mirrored_axis=None) -> SceneAssets:
+    name = scene.name
+    if mirrored_axis:
+        name = f"{name}_mirror{''.join(str(a) for a in mirrored_axis)}"
     return pack_scene(
         scene.verts,
         scene.faces,
         scene.settings,
         scene.start_cam_idx,
-        name=scene.name,
+        name=name,
         params=params,
         pad_tris_to=pad_tris_to,
         seed=seed,
+        mirrored_axis=mirrored_axis,
     )
 
 

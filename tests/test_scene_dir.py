@@ -152,6 +152,41 @@ def test_load_scene_dir_mirrored(scene_and_dir):
                       mirrored.settings.camera.x_min[0])
 
 
+def test_mirrored_scene_rollout_explores(scene_and_dir):
+    """A mirrored scene must start from a VALID pose (the start index is
+    remapped into the mirrored lattice, scene_assets._mirror_start_idx) and
+    a short rollout must gain coverage — the guard for the --mirror
+    training augmentation."""
+    import jax
+    import jax.numpy as jnp
+
+    from nextbestpath_tpu.config import default_params
+    from nextbestpath_tpu.eval.random_walk import ScanRandomWalk
+
+    scene, _ = scene_and_dir
+    params = default_params(
+        image_height=32, image_width=56, points_per_frame=256,
+        full_pc_capacity=32768, n_gt_surface_points=1024, max_path_len=32,
+        pc2img_size=[64, 64], value_map_size=[16, 16],
+    )
+    plain = pack_generated_scene(scene, params=params)
+    mirrored = pack_generated_scene(scene, params=params, mirrored_axis=[0])
+    assert mirrored.name.endswith("_mirror0")
+    # The mirrored start is the snapped mirror of the original start
+    # position (within half a lattice step of the exact mirror).
+    p = plain.pose_position(plain.start_cam_idx[0], plain.start_cam_idx[2])
+    m = mirrored.pose_position(mirrored.start_cam_idx[0],
+                               mirrored.start_cam_idx[2])
+    assert abs(m[0] + p[0]) <= 1.5 + 1e-4
+    np.testing.assert_allclose(m[2], p[2], atol=1e-4)
+
+    rw = ScanRandomWalk([plain, mirrored], params=params)
+    res = rw.run(n_poses=4, seed=3)
+    for r in res:
+        assert r.coverage_evolution[0] > 0.0  # start sees surface, not wall
+        assert r.coverage_evolution[-1] > r.coverage_evolution[0]
+
+
 @pytest.mark.slow
 def test_cli_scene_dirs_rollout(tmp_path, monkeypatch):
     """The --scene-dirs CLI path runs a short rollout end to end on a

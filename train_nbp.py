@@ -44,6 +44,10 @@ def main():
                          "(seeds disjoint from training)")
     ap.add_argument("--scene-dirs", default=None,
                     help="comma-separated reference-format scene directories")
+    ap.add_argument("--mirror", action="store_true",
+                    help="double the training set with x-mirrored variants "
+                         "of every scene (the reference's mirror "
+                         "augmentation, load_scene_with_texture(mirror=True))")
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--poses", type=int, default=None)
     ap.add_argument("--seed", type=int, default=8)
@@ -91,10 +95,16 @@ def main():
     if args.scene_dirs:
         for d in args.scene_dirs.split(","):
             scenes.append(load_scene_dir(d, params=params))
+            if args.mirror:
+                scenes.append(load_scene_dir(d, params=params,
+                                             mirrored_axis=[0]))
     elif args.procgen:
         for diff, s in parse_procgen(args.procgen, args.seed):
-            scenes.append(pack_generated_scene(
-                generate_scene(diff, seed=s), params=params))
+            gen = generate_scene(diff, seed=s)
+            scenes.append(pack_generated_scene(gen, params=params))
+            if args.mirror:
+                scenes.append(pack_generated_scene(gen, params=params,
+                                                   mirrored_axis=[0]))
     else:
         raise SystemExit("provide --scene-dirs or --procgen")
 
