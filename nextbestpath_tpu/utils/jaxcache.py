@@ -31,6 +31,18 @@ Two entry points:
 
 Set ``NBPT_NO_CACHE=1`` to disable persistent caching entirely (the cold
 retry path in __graft_entry__.py).
+
+Known-benign noise: ``cpu_aot_loader.cc`` prints "Target machine feature
++prefer-no-scatter/+prefer-no-gather is not supported on the host machine
+... could lead to execution errors such as SIGILL" on EVERY reload of a CPU
+AOT entry — including entries the very same machine wrote seconds earlier
+(reproduced round 3 with a fresh cache dir and two back-to-back runs of a
+trivial jit). Those two flags are XLA CPU tuning *preferences* recorded in
+the compile-time target features but never present in the loader's
+host-feature detection, so the mismatch is tautological. Execution is
+correct; the message cannot be silenced by fingerprinting. Real skew (a
+different jaxlib or genuinely different CPU features) still lands in a
+separate fingerprint directory and compiles cold.
 """
 
 from __future__ import annotations
