@@ -31,13 +31,21 @@ def _gaussian_kernel(size: int = 5, sigma: float = 1.5):
 
 
 def _filter2d(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
-    """Depthwise 2D filter on (H, W, C) with SAME padding."""
+    """Depthwise 2D filter on (H, W, C) with SAME padding.
+
+    precision=HIGHEST is load-bearing: under the TPU default, fp32 convs
+    run as single-pass bf16 on the MXU, and ssim()'s E[a^2] - mu^2
+    variance then cancels catastrophically on flat regions (error ~1e-3
+    vs C2 = 9e-4), flipping the denominator sign and producing |SSIM| >> 1
+    — observed as negative photometric losses in the round-3 depth probe.
+    """
     k = kernel[:, :, None, None]
     x = img[None]
     out = jax.lax.conv_general_dilated(
         x.transpose(0, 3, 1, 2).reshape(-1, 1, *img.shape[:2]),
         k.transpose(2, 3, 0, 1),
         window_strides=(1, 1), padding="SAME",
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out.reshape(img.shape[2], *img.shape[:2]).transpose(1, 2, 0)
 
@@ -50,8 +58,11 @@ def ssim(a: jnp.ndarray, b: jnp.ndarray, window: int = 5,
     kern = _gaussian_kernel(window, sigma)
     mu_a = _filter2d(a, kern)
     mu_b = _filter2d(b, kern)
-    sa = _filter2d(a * a, kern) - mu_a ** 2
-    sb = _filter2d(b * b, kern) - mu_b ** 2
+    # Clamp variances at 0: they are exact-arithmetic non-negative, and
+    # keeping them so preserves |SSIM| <= 1 + O(eps) against any residual
+    # rounding in the moment cancellation (see _filter2d docstring).
+    sa = jnp.maximum(_filter2d(a * a, kern) - mu_a ** 2, 0.0)
+    sb = jnp.maximum(_filter2d(b * b, kern) - mu_b ** 2, 0.0)
     sab = _filter2d(a * b, kern) - mu_a * mu_b
     num = (2 * mu_a * mu_b + C1) * (2 * sab + C2)
     den = (mu_a ** 2 + mu_b ** 2 + C1) * (sa + sb + C2)

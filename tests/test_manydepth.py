@@ -34,6 +34,29 @@ def test_ssim_identity():
     assert s.min() > 0.99
 
 
+def test_ssim_bounded_on_flat_images():
+    """|SSIM| <= 1 + O(eps) even on flat regions.
+
+    Regression for the round-3 depth probe: under TPU default precision
+    the fp32 moment convs ran as bf16 MXU passes, E[a^2] - mu^2 cancelled
+    catastrophically on flat gray renders, the denominator flipped sign
+    and SSIM reached |20| — photometric losses went NEGATIVE. _filter2d
+    now forces Precision.HIGHEST and ssim() clamps variances at 0, which
+    restores the mathematical bound on every backend."""
+    rng = np.random.default_rng(1)
+    for level in (0.0, 0.5, 1.0):
+        a = jnp.full((32, 48, 3), level, jnp.float32)
+        b = a + jnp.asarray(
+            rng.normal(0, 1e-4, (32, 48, 3)).astype(np.float32))
+        s = np.asarray(ssim(a, b))
+        assert s.max() <= 1.0 + 1e-3 and s.min() >= -1.0 - 1e-3
+    # jitted, as the online trainer runs it
+    a = jnp.asarray(rng.random((32, 48, 3)).astype(np.float32))
+    flat = jnp.full_like(a, 0.7)
+    s = np.asarray(jax.jit(ssim)(a, flat))
+    assert s.max() <= 1.0 + 1e-3 and s.min() >= -1.0 - 1e-3
+
+
 @pytest.mark.slow
 def test_manydepth_forward_shapes():
     intr = CameraIntrinsics(image_height=32, image_width=56)
