@@ -70,25 +70,33 @@ class FeatureExtractor(nn.Module):
         return ResNetLayer(64, 1, dtype=self.dtype)(x, train)
 
 
-def _warp_features(world_points, features, R, T, intr: CameraIntrinsics):
+def _warp_features(world_points, features, R, T, intr: CameraIntrinsics,
+                   padding: str = "zeros"):
     """Sample `features` (h, w, C) at the projections of world_points (N, 3)
     through camera (R, T); normalized grid like the reference's warp
-    (:146-205, factor = -min(h, w))."""
+    (:146-205, factor = -min(h, w)).
+
+    padding='zeros' (the cost-volume mode, warp() default :151) zeroes
+    out-of-bounds samples AND rejects behind-camera points: project_points
+    divides by view z, so a point behind the source camera (z < 0) projects
+    to a sign-flipped location that can land inside [-1, 1] and sample
+    mirrored features into the cost volume at wrong depths.
+    padding='border' clamp-samples like grid_sample(padding_mode='border')
+    — the mode the reference's RECONSTRUCTION loss uses
+    (get_reconstruction_loss_fn, macarons_utils.py:1305 padding_mode
+    default 'border'), with no rejection at all."""
     h, w = features.shape[:2]
     proj = project_points(world_points, R, T, intr.tan_half_fov)
     factor = -float(min(h, w))
     gx = factor / w * proj[..., 0]
     gy = factor / h * proj[..., 1]
-    # Zero padding outside [-1, 1] like grid_sample(padding_mode='zeros'),
-    # AND behind-camera rejection: project_points divides by view z, so a
-    # point behind the source camera (z < 0) projects to a sign-flipped
-    # location that can land inside [-1, 1] and sample mirrored features
-    # into the cost volume at wrong depths.
-    inside = ((jnp.abs(gx) <= 1.0) & (jnp.abs(gy) <= 1.0)
-              & (proj[..., 2] > 0.0))
     sampled = jax.vmap(
         lambda c: grid_sample_bilinear(c, gx, gy), in_axes=-1, out_axes=-1
     )(features)
+    if padding == "border":
+        return sampled
+    inside = ((jnp.abs(gx) <= 1.0) & (jnp.abs(gy) <= 1.0)
+              & (proj[..., 2] > 0.0))
     return sampled * inside[..., None]
 
 

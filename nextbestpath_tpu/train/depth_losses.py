@@ -83,8 +83,11 @@ def photometric_loss(target: jnp.ndarray, depth: jnp.ndarray,
     world = unproject_depth(depth, R, T, intr)
 
     def warp_one(img_a, Ra, Ta):
-        return _warp_features(world, img_a, Ra, Ta, intr).reshape(
-            target.shape)
+        # border padding: the reference's reconstruction loss warps with
+        # padding_mode='border' (macarons_utils.py:1305), unlike the
+        # cost volume's zeros mode.
+        return _warp_features(world, img_a, Ra, Ta, intr,
+                              padding="border").reshape(target.shape)
 
     warped = jax.vmap(warp_one)(alpha_images, R_alpha, T_alpha)  # (A, H, W, 3)
     l1 = jnp.mean(jnp.abs(warped - target[None]), axis=-1)
