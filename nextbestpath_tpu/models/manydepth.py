@@ -84,7 +84,15 @@ def _warp_features(world_points, features, R, T, intr: CameraIntrinsics,
     padding='border' clamp-samples like grid_sample(padding_mode='border')
     — the mode the reference's RECONSTRUCTION loss uses
     (get_reconstruction_loss_fn, macarons_utils.py:1305 padding_mode
-    default 'border'), with no rejection at all."""
+    default 'border'), with no rejection at all.
+
+    Known reference quirk, reproduced faithfully: world points are
+    unprojected from (m-1)-denominator NDC tables (reproject_depth_map,
+    ManyDepth.py:128-129 == geometry.cameras.ndc_tables) but this grid
+    conversion assumes true (2j+1)/m pixel centers, a sub-pixel scale
+    skew (exact at the image center, +-0.5 px at the edges at 256x456).
+    A same-camera warp is therefore depth-independent but not a perfect
+    identity — tested in test_manydepth.py."""
     h, w = features.shape[:2]
     proj = project_points(world_points, R, T, intr.tan_half_fov)
     factor = -float(min(h, w))

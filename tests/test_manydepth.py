@@ -118,3 +118,52 @@ def test_error_mask_flags_irregular_pixels():
     em = np.asarray(error_mask_from_disparity(disp, img, mask))
     assert not em[8, 14] or not em[8, 13]  # the spike region is masked out
     assert em.mean() > 0.9  # most pixels pass
+
+
+def test_photometric_loss_zero_baseline_depth_independent():
+    """With alpha camera == target camera, reprojection maps every pixel
+    back along its own ray, so the warp — and hence the photometric loss —
+    must be EXACTLY depth-independent (a pure same-camera reprojection is
+    a no-op in ray space). The loss is NOT zero: the reference unprojects
+    with (m-1)-denominator NDC tables (reproject_depth_map,
+    ManyDepth.py:128-129) but grid_samples with true (2j+1)/m pixel
+    centers, a sub-pixel scale skew (+-0.5 px at the edges at 256x456,
+    much larger at this test's 24x40) that we reproduce faithfully; on a
+    smooth image the residual is small."""
+    rng = np.random.default_rng(3)
+    intr = CameraIntrinsics(image_height=24, image_width=40)
+    noise = jnp.asarray(rng.random((24, 40, 3)).astype(np.float32))
+    R, T = get_camera_RT(jnp.asarray([[1.0, 2.0, 3.0]]),
+                         jnp.asarray([[10.0, 40.0]]))
+    losses = []
+    for wrong_depth in (0.7, 5.0, 200.0):
+        depth = jnp.full((24, 40), wrong_depth, jnp.float32)
+        losses.append(float(photometric_loss(noise, depth, R[0], T[0],
+                                             noise[None], R, T, intr)))
+    assert max(losses) - min(losses) < 1e-4, losses
+    # Smooth image: the skew's sub-pixel resampling costs little.
+    yy, xx = jnp.meshgrid(jnp.linspace(0, 1, 24), jnp.linspace(0, 1, 40),
+                          indexing="ij")
+    smooth = jnp.stack([xx, yy, 0.5 * (xx + yy)], axis=-1).astype(jnp.float32)
+    depth = jnp.full((24, 40), 5.0, jnp.float32)
+    loss = float(photometric_loss(smooth, depth, R[0], T[0], smooth[None],
+                                  R, T, intr))
+    assert loss < 2e-2, loss
+
+
+def test_photometric_warp_uses_border_padding():
+    """The reference's reconstruction loss warps with padding_mode='border'
+    (get_reconstruction_loss_fn, macarons_utils.py:1305; configs'
+    padding_mode: 'border'), NOT the cost volume's zeros mode. With a
+    translated source camera and wrong depth, many samples land out of
+    bounds: zeros padding would compare the target against black and push
+    the loss toward the unmatched plateau; border clamping samples edge
+    pixels, so on a CONSTANT image the loss stays ~0 regardless of depth."""
+    intr = CameraIntrinsics(image_height=24, image_width=40)
+    img = jnp.full((24, 40, 3), 0.6, jnp.float32)
+    R, T = get_camera_RT(jnp.asarray([[0.0, 0.0, 0.0], [3.0, 0.0, 0.0]]),
+                         jnp.asarray([[0.0, 0.0], [0.0, 0.0]]))
+    depth = jnp.full((24, 40), 0.9, jnp.float32)  # true scene irrelevant
+    loss = float(photometric_loss(img, depth, R[0], T[0], img[None, :],
+                                  R[1:], T[1:], intr))
+    assert loss < 2e-2, loss
