@@ -37,6 +37,14 @@ def main():
     ap.add_argument("--min-margin", type=float, default=0.005,
                     help="minimum mean-AUC improvement required for a "
                          "PROMOTE verdict (noise floor at 2x2 per level)")
+    ap.add_argument("--mode", choices=("batched", "sequential"),
+                    default="batched",
+                    help="batched = one vmapped program over all scenes "
+                         "(default, one compile); sequential = one "
+                         "single-scene program reused across scenes "
+                         "(multi_scene_bench's reuse mode — use for long "
+                         "horizons where the 8-wide vmapped program has "
+                         "crashed the TPU worker)")
     args = ap.parse_args()
 
     import jax
@@ -45,7 +53,8 @@ def main():
 
     from nextbestpath_tpu.config import default_params
     from nextbestpath_tpu.eval.heldout import held_out_assets
-    from nextbestpath_tpu.eval.scan_rollout import BatchedScanRollout
+    from nextbestpath_tpu.eval.scan_rollout import (BatchedScanRollout,
+                                                    ScanRollout)
     from nextbestpath_tpu.models import NBP
     from nextbestpath_tpu.utils.checkpoint import load_checkpoint
 
@@ -62,18 +71,32 @@ def main():
     print(f"# A = {args.ckpt_a} (epoch {ep_a}), "
           f"B = {args.ckpt_b} (epoch {ep_b})", file=sys.stderr, flush=True)
 
-    rollout = BatchedScanRollout(assets, model, var_a, params=params)
-
     aucs = {"a": {a.name: [] for a in assets},
             "b": {a.name: [] for a in assets}}
-    for s in range(args.seeds):
-        for key, var in (("a", var_a), ("b", var_b)):
-            for a, r in zip(assets, rollout.run(n_poses=args.poses,
-                                                seed=1000 + 97 * s,
-                                                variables=var)):
-                aucs[key][a.name].append(r.auc)
-            print(f"# seed block {s}, ckpt {key} done", file=sys.stderr,
-                  flush=True)
+    if args.mode == "batched":
+        rollout = BatchedScanRollout(assets, model, var_a, params=params)
+        for s in range(args.seeds):
+            for key, var in (("a", var_a), ("b", var_b)):
+                for a, r in zip(assets, rollout.run(n_poses=args.poses,
+                                                    seed=1000 + 97 * s,
+                                                    variables=var)):
+                    aucs[key][a.name].append(r.auc)
+                print(f"# seed block {s}, ckpt {key} done", file=sys.stderr,
+                      flush=True)
+    else:
+        # One single-scene program, module-cached by configuration signature:
+        # every (scene, checkpoint, seed) combination reuses the same
+        # executable with scene + weights as runtime args.
+        rollouts = [ScanRollout(a, model, var_a, params=params)
+                    for a in assets]
+        for s in range(args.seeds):
+            for key, var in (("a", var_a), ("b", var_b)):
+                for a, r in zip(assets, rollouts):
+                    res = r.run(n_poses=args.poses, seed=1000 + 97 * s,
+                                variables=var)
+                    aucs[key][a.name].append(res.auc)
+                print(f"# seed block {s}, ckpt {key} done", file=sys.stderr,
+                      flush=True)
 
     # Verdict from UNROUNDED means with a minimum margin: at 2 scenes x 2
     # seeds per difficulty a rounding tie or a noise-level win must not
