@@ -20,6 +20,8 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 # 3-pass bf16 (~f32-equivalent for the MXU): centered coords are O(1e2), so
 # d^2 terms are O(1e4) and the 3-pass relative error (~5e-7) leaves ~5e-3
@@ -85,6 +87,118 @@ def masked_min_dists(gt: jnp.ndarray, pts: jnp.ndarray, pts_valid: jnp.ndarray,
     return jnp.sqrt(jnp.maximum(best, 0.0))
 
 
+# ---------------------------------------------------------------------------
+# Pallas running-min distance kernel.
+#
+# The jnp path above evaluates ||g - s||^2 through a K=3 "matmul" whose
+# (G, chunk) f32 distance matrix round-trips HBM three times (3-pass bf16)
+# before the min reduction — ~22 ms/pose at G~20k, S~40k on v5e, the single
+# largest per-pose cost of the scan rollout. The kernel below keeps each
+# (G_BLOCK, S_CHUNK) distance tile in VMEM and carries only the running
+# per-row min, so HBM traffic collapses to reading g and s once. Direct
+# squared differences in f32 on the VPU are also EXACT at scene magnitudes
+# (no 3-pass trick needed): the kernel is both faster and more accurate
+# than the jnp path.
+# ---------------------------------------------------------------------------
+
+_G_BLOCK = 512    # GT rows per program (sublanes)
+_S_CHUNK = 1024   # sampled points per inner step (lanes)
+_S_SENTINEL = 1e9  # invalid sampled slots are moved here (d^2 ~ 1e18 < inf)
+
+
+def _min_dist_kernel(n_chunks_ref, g_ref, s_ref, out_ref):
+    """One program: G_BLOCK GT rows vs all (valid-prefix) sample chunks."""
+    gx = g_ref[:, 0:1]
+    gy = g_ref[:, 1:2]
+    gz = g_ref[:, 2:3]
+
+    def body(c, best):
+        base = c * _S_CHUNK
+        sx = s_ref[0:1, pl.ds(base, _S_CHUNK)]
+        sy = s_ref[1:2, pl.ds(base, _S_CHUNK)]
+        sz = s_ref[2:3, pl.ds(base, _S_CHUNK)]
+        dx = gx - sx
+        dy = gy - sy
+        dz = gz - sz
+        d2 = dx * dx + dy * dy + dz * dz
+        return jnp.minimum(best, jnp.min(d2, axis=1, keepdims=True))
+
+    # Plain float literal: a jnp scalar would be captured as a kernel const.
+    best = jax.lax.fori_loop(
+        0, n_chunks_ref[0], body,
+        jnp.full((_G_BLOCK, 1), 1e30, jnp.float32))
+    out_ref[:, :] = best
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _min_dists_pallas(gt: jnp.ndarray, pts: jnp.ndarray,
+                      pts_valid: jnp.ndarray, s_count: jnp.ndarray,
+                      interpret: bool) -> jnp.ndarray:
+    """Min ||gt_i - pts_j|| over valid pts, via the Pallas kernel. (G,).
+
+    s_count: number of leading sample slots that can be valid (pass
+    pts.shape[0] when validity is not a prefix); slots are sentinel-masked
+    regardless, the count only bounds the loop trip.
+    """
+    G = gt.shape[0]
+    S = pts.shape[0]
+    g_pad = pl.cdiv(G, _G_BLOCK) * _G_BLOCK - G
+    s_pad = pl.cdiv(S, _S_CHUNK) * _S_CHUNK - S
+    g = gt.astype(jnp.float32)
+    if g_pad:
+        g = jnp.pad(g, ((0, g_pad), (0, 0)))
+    s = jnp.where(pts_valid[:, None], pts, _S_SENTINEL).astype(jnp.float32).T
+    if s_pad:
+        s = jnp.pad(s, ((0, 0), (0, s_pad)), constant_values=_S_SENTINEL)
+    n_chunks = jnp.asarray(
+        [pl.cdiv(jnp.clip(s_count, 0, S), _S_CHUNK)], jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(pl.cdiv(G, _G_BLOCK),),
+        in_specs=[
+            pl.BlockSpec((_G_BLOCK, 3), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # full (3, S) SoA
+        ],
+        out_specs=pl.BlockSpec((_G_BLOCK, 1), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    d2 = pl.pallas_call(
+        _min_dist_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((g.shape[0], 1), jnp.float32),
+        interpret=interpret,
+    )(n_chunks, g, s)
+    return jnp.sqrt(jnp.maximum(d2[:G, 0], 0.0))
+
+
+def _use_kernel() -> bool:
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def min_dists(gt: jnp.ndarray, pts: jnp.ndarray, pts_valid: jnp.ndarray,
+              gt_valid: Optional[jnp.ndarray] = None,
+              s_count: Optional[jnp.ndarray] = None,
+              chunk: int = 8192,
+              use_kernel: Optional[bool] = None) -> jnp.ndarray:
+    """Dispatching front end: Pallas kernel on TPU, jnp matmul path elsewhere.
+
+    Semantically identical to masked_min_dists (the kernel is exact f32; the
+    jnp path carries ~5e-7 relative error from the 3-pass bf16 matmul).
+    s_count bounds the kernel's inner loop when validity is a prefix mask.
+    """
+    if use_kernel is None:
+        use_kernel = _use_kernel()
+    if use_kernel:
+        sc = pts.shape[0] if s_count is None else s_count
+        return _min_dists_pallas(gt, pts, pts_valid,
+                                 jnp.asarray(sc, jnp.int32),
+                                 interpret=not _use_kernel())
+    return masked_min_dists(gt, pts, pts_valid, gt_valid=gt_valid,
+                            chunk=chunk)
+
+
 def stride_subsample(key: jax.Array, count: jnp.ndarray, capacity: int,
                      n_sample: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """O(n_sample) random-ish subset of the valid prefix: random start +
@@ -106,13 +220,15 @@ def coverage_percentage(gt: jnp.ndarray, pts: jnp.ndarray, count: jnp.ndarray,
                         key: jax.Array, threshold: float = 1.0,
                         weight: int = 2,
                         gt_valid: Optional[jnp.ndarray] = None,
-                        fast_sampling: bool = False) -> jnp.ndarray:
+                        fast_sampling: bool = False,
+                        use_kernel: Optional[bool] = None) -> jnp.ndarray:
     """calculate_coverage_percentage over a fixed-capacity buffer.
 
     gt: (G, 3); pts: (C, 3) buffer with `count` valid rows. Returns a scalar
     in [0, 1]; 0 when count == 0 (reference behavior). fast_sampling swaps
     the exact random-permutation subsample for the O(n) stride scheme
     (statistically equivalent for the metric; used in the scan rollout).
+    use_kernel: force/disable the Pallas min-dist kernel (default: TPU only).
     """
     g_count = gt.shape[0] if gt_valid is None else jnp.sum(gt_valid)
     raw = int(gt.shape[0]) * weight
@@ -129,7 +245,11 @@ def coverage_percentage(gt: jnp.ndarray, pts: jnp.ndarray, count: jnp.ndarray,
     else:
         idx, valid = subsample_buffer(key, count, pts.shape[0], n_sample)
     sampled = pts[idx]
-    dmin = masked_min_dists(gt, sampled, valid, gt_valid=gt_valid, chunk=chunk)
+    # Both samplers place their valid slots in a leading prefix (the stride
+    # scheme by construction; argsort sorts valid scores < 2.0 first), so
+    # `count` bounds the kernel's inner loop.
+    dmin = min_dists(gt, sampled, valid, gt_valid=gt_valid, s_count=count,
+                     chunk=chunk, use_kernel=use_kernel)
     close = (dmin < threshold).astype(jnp.float32)
     if gt_valid is not None:
         close = close * gt_valid
