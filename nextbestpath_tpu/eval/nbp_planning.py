@@ -39,7 +39,8 @@ from ..geometry.cameras import CameraIntrinsics
 from ..models.unet import NBP
 from ..ops.coverage import compute_auc, coverage_percentage
 from ..ops.raytrace import tris_to_soa
-from ..ops.scatter2d import binned_count_imgs, count_img, height_bins
+from ..ops.scatter2d import (binned_count_imgs, count_img, height_bins,
+                             plan_count_imgs)
 from ..planning.candidates import score_candidates_test
 from ..planning.grid_paths import (
     EDGE_COLLISION,
@@ -76,6 +77,42 @@ def build_model_input(pc: PointBuffer, traj: TrajectoryBuffer,
                          grid_range)
     x = jnp.concatenate([pc_imgs, traj_img[None]], axis=0)  # (C, S, S)
     return jnp.transpose(x, (1, 2, 0))[None], traj_img
+
+
+def build_plan_projections(pc: PointBuffer, traj: TrajectoryBuffer,
+                           cam_pose5: jnp.ndarray, y_bins: jnp.ndarray,
+                           n_pieces: int = 4, img_size: int = 256,
+                           grid_range: Tuple[float, float] = (-40.0, 40.0)):
+    """Model input + trajectory image + fuse_layout's projections, one pass.
+
+    Produces exactly what build_model_input + fuse_layout's two internal
+    count images produce, but walks the point buffer once instead of three
+    times (ops/scatter2d.plan_count_imgs). Used by the scan rollout's plan
+    branch where all four arrays are consumed together.
+
+    Returns (model_input (1, S, S, n_pieces+1), traj_img, proj, filt) with
+    proj/filt already clamped to [0, 1] like fuse_layout.
+    """
+    imgs = plan_count_imgs(pc.points, pc.valid_mask(), cam_pose5[:3], y_bins,
+                           cam_pose5[1], n_pieces, img_size, grid_range,
+                           count=pc.count)
+    traj_img = count_img(traj.xyz, traj.valid_mask(), cam_pose5[:3], img_size,
+                         grid_range)
+    x = jnp.concatenate([imgs[:n_pieces], traj_img[None]], axis=0)
+    model_input = jnp.transpose(x, (1, 2, 0))[None]
+    proj = jnp.minimum(jnp.sum(imgs[:n_pieces + 1], axis=0), 1.0)
+    filt = jnp.minimum(imgs[n_pieces + 1], 1.0)
+    return model_input, traj_img, proj, filt
+
+
+def fuse_layout_from_projections(pred_obstacle: jnp.ndarray,
+                                 proj: jnp.ndarray, filt: jnp.ndarray,
+                                 traj_img: jnp.ndarray):
+    """fuse_layout's fusion step over precomputed clamped projections."""
+    layout = (pred_obstacle >= OBSTACLE_THRESHOLD).astype(jnp.float32)
+    layout = jnp.where(proj > 0, filt, layout)
+    layout = jnp.where(traj_img > 0, 0.0, layout)
+    return layout, proj
 
 
 @functools.partial(jax.jit, static_argnames=("img_size",))

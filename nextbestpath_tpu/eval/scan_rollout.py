@@ -62,7 +62,9 @@ from ..planning.grid_paths import (
 from ..sim.rollout import TrajectoryBuffer, move_and_capture, observe_current
 from ..sim.sensor import PointBuffer
 from ..sim.tables import SceneTables, build_scene_tables
-from .nbp_planning import OBSTACLE_THRESHOLD, RolloutResult, build_model_input, fuse_layout, select_goal
+from .nbp_planning import (OBSTACLE_THRESHOLD, RolloutResult,
+                           build_plan_projections, fuse_layout,
+                           fuse_layout_from_projections, select_goal)
 
 _DIRS_ARR = jnp.asarray(DIRS, jnp.int32)  # (4, 2)
 
@@ -261,16 +263,23 @@ class ScanRollout:
             S = int(p.pc2img_size[0])
             model_input = jnp.zeros((1, S, S, int(p.n_pieces) + 1))
             traj_img = jnp.zeros((S, S))
+            value_map, obstacle_map = self.model.apply(variables, model_input,
+                                                       train=False)
+            layout, proj256 = fuse_layout(obstacle_map[0, :, :, 0], pc,
+                                          traj_img, cur_pose5,
+                                          img_size=int(p.pc2img_size[0]))
         else:
-            model_input, traj_img = build_model_input(
-                pc, traj, cur_pose5[:3], scene.y_bins,
+            # Fused single-pass projections: the model input, the full-pc
+            # projection and the height-slice image all walk the buffer
+            # once (build_plan_projections) instead of three times.
+            model_input, traj_img, proj, filt = build_plan_projections(
+                pc, traj, cur_pose5, scene.y_bins,
                 n_pieces=int(p.n_pieces), img_size=int(p.pc2img_size[0]),
             )
-        value_map, obstacle_map = self.model.apply(variables, model_input,
-                                                   train=False)
-        layout, proj256 = fuse_layout(obstacle_map[0, :, :, 0], pc, traj_img,
-                                      cur_pose5,
-                                      img_size=int(p.pc2img_size[0]))
+            value_map, obstacle_map = self.model.apply(variables, model_input,
+                                                       train=False)
+            layout, proj256 = fuse_layout_from_projections(
+                obstacle_map[0, :, :, 0], proj, filt, traj_img)
         scores = score_candidates_test(
             scene.positions, cur_pose5[:3], value_map[0], proj256,
             banned, value_map_size=int(p.value_map_size[0]),
@@ -353,13 +362,16 @@ class ScanRollout:
                                       fast_sampling=True,
                                       gt_valid=scene.gt_valid)
         cur_pose5 = self._pose5(scene, state.cur)
-        pc = observe_current(
-            scene.tri_soa, scene.n_tris, cur_pose5, state.pc, k_obs,
-            self.intr, n_slots=int(p.points_per_frame),
-            gathering_factor=float(p.gathering_factor),
-            sensor_range=float(p.sensor_range), interpret=self.interpret,
-            stratified=self.stratified,
-        )
+        if "observe" in ablate:
+            pc = state.pc
+        else:
+            pc = observe_current(
+                scene.tri_soa, scene.n_tris, cur_pose5, state.pc, k_obs,
+                self.intr, n_slots=int(p.points_per_frame),
+                gathering_factor=float(p.gathering_factor),
+                sensor_range=float(p.sensor_range), interpret=self.interpret,
+                stratified=self.stratified,
+            )
         # Regen condition + collision memo (nbp_planning.py:134-160).
         path_exhausted = state.path_record >= state.path_len
         nxt_candidate = state.path[
@@ -419,15 +431,18 @@ class ScanRollout:
                                       nxt[2]))
 
         new_pose5 = self._pose5(scene, nxt)
-        pc, traj, _ = move_and_capture(
-            scene.tri_soa, scene.n_tris, pre.cur_pose5, new_pose5, pre.pc,
-            state.traj, pre.k_move, self.intr,
-            n_steps=int(p.n_interpolation_steps), n_azim=A,
-            n_slots=int(p.points_per_frame),
-            gathering_factor=float(p.gathering_factor),
-            sensor_range=float(p.sensor_range), interpret=self.interpret,
-            stratified=self.stratified,
-        )
+        if "moves" in self.ablate:
+            pc, traj = pre.pc, state.traj
+        else:
+            pc, traj, _ = move_and_capture(
+                scene.tri_soa, scene.n_tris, pre.cur_pose5, new_pose5, pre.pc,
+                state.traj, pre.k_move, self.intr,
+                n_steps=int(p.n_interpolation_steps), n_azim=A,
+                n_slots=int(p.points_per_frame),
+                gathering_factor=float(p.gathering_factor),
+                sensor_range=float(p.sensor_range), interpret=self.interpret,
+                stratified=self.stratified,
+            )
         visited_rot = state.visited_rot.at[nxt[0], nxt[1], nxt[2]].set(True)
 
         new_state = ScanState(

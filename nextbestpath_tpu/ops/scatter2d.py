@@ -154,6 +154,62 @@ def count_img(points: jnp.ndarray, valid: jnp.ndarray, cam_xyz: jnp.ndarray,
                              grid_range, count=count)
 
 
+def plan_count_imgs(points: jnp.ndarray, valid: jnp.ndarray,
+                    cam_xyz: jnp.ndarray, y_bins: jnp.ndarray,
+                    band_center: jnp.ndarray, n_pieces: int, grid_size: int,
+                    grid_range: Tuple[float, float],
+                    count: Optional[jnp.ndarray] = None,
+                    band_halfwidth: float = 0.1) -> jnp.ndarray:
+    """All plan-phase count images of one point buffer in a single scatter.
+
+    Returns (n_pieces + 2, S, S):
+      [0:n_pieces]   height-binned count images (== binned_count_imgs),
+      [n_pieces]     counts of valid in-image points whose height bin falls
+                     OUTSIDE [0, n_pieces) — so that the full-pc projection
+                     (fuse_layout's ``proj``) is the channel-sum over
+                     [0:n_pieces+1],
+      [n_pieces + 1] the current-height slice |y - band_center| < 0.1
+                     (fuse_layout's ``filt``).
+
+    The eval plan phase needs bins + proj + filt of the SAME buffer
+    (nbp_planning.py:111-132,166-191); computing them as three scatters
+    walks the (up to 2M-slot) buffer three times. Here each point carries
+    two interleaved scatter entries (its bin-or-overflow channel and its
+    height-band channel), one pass, exact count parity: counts are small
+    integers in f32, so add order cannot change them.
+    """
+    p2 = ego2d(points, cam_xyz)
+    ij = img_coords(p2, grid_size, grid_range)
+    b = bucketize_bins(points[:, 1], y_bins)
+    in_img = (
+        valid
+        & (ij[:, 0] >= 0) & (ij[:, 0] < grid_size)
+        & (ij[:, 1] >= 0) & (ij[:, 1] < grid_size)
+    )
+    in_bin = (b >= 0) & (b < n_pieces)
+    c1 = jnp.where(in_bin, jnp.clip(b, 0, n_pieces - 1), n_pieces)
+    ok1 = in_img
+    band = ((points[:, 1] < band_center + band_halfwidth)
+            & (points[:, 1] > band_center - band_halfwidth))
+    c2 = jnp.full_like(c1, n_pieces + 1)
+    ok2 = in_img & band
+    ij_c = jnp.clip(ij, 0, grid_size - 1)
+
+    # Interleave the two entry sets point-by-point so a valid-prefix buffer
+    # keeps a valid-prefix entry array (count-bounding works with 2*count).
+    def weave(a1, a2):
+        return jnp.stack([a1, a2], axis=1).reshape(-1)
+
+    ch = weave(c1, c2)
+    ii = weave(ij_c[:, 0], ij_c[:, 0])
+    jj = weave(ij_c[:, 1], ij_c[:, 1])
+    ok = weave(ok1, ok2)
+    out = jnp.zeros((n_pieces + 2, grid_size, grid_size), jnp.float32)
+    if count is None:
+        return out.at[ch, ii, jj].add(ok.astype(jnp.float32))
+    return _count_bounded_add(out, [ch, ii, jj], ok, 2 * count)
+
+
 def scatter_mean_img(points_2d: jnp.ndarray, values: jnp.ndarray,
                      valid: jnp.ndarray, grid_size: int,
                      grid_range: Tuple[float, float]) -> jnp.ndarray:

@@ -29,8 +29,15 @@ model = NBP()
 variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
     jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 5)))
 
-for ablate in [(), ("coverage",), ("plan",), ("model_input",),
-               ("coverage", "plan", "model_input")]:
+import sys as _sys
+CONFIGS = [(), ("coverage",), ("plan",), ("model_input",), ("observe",),
+           ("moves",),
+           ("coverage", "plan", "model_input", "observe", "moves")]
+if len(_sys.argv) > 1:  # e.g. `profile_scan.py none` -> unablated only
+    names = set(_sys.argv[1:])
+    CONFIGS = [c for c in CONFIGS
+               if ("none" in names and c == ()) or (c and set(c) <= names)]
+for ablate in CONFIGS:
     r = ScanRollout(assets, model, variables, params=params, ablate=ablate)
     r.run(n_poses=POSES, seed=8)  # compile
     t0 = time.time()
