@@ -351,8 +351,11 @@ class ScanRollout:
         p = self.p
         ablate = self.ablate
         gt_eb = scene.gt_edge_blocked
-        key, k_cov, k_obs, k_rot, k_rot2, k_move, k_plan = (
-            jax.random.split(state.key, 7))
+        if "rng" in ablate:  # profiling: skip the per-pose key derivation
+            key = k_cov = k_obs = k_rot = k_rot2 = k_move = k_plan = state.key
+        else:
+            key, k_cov, k_obs, k_rot, k_rot2, k_move, k_plan = (
+                jax.random.split(state.key, 7))
 
         if "coverage" in ablate:
             cov = jnp.float32(0.0)
@@ -372,6 +375,12 @@ class ScanRollout:
                 sensor_range=float(p.sensor_range), interpret=self.interpret,
                 stratified=self.stratified,
             )
+        if "logic" in ablate:  # profiling: skip regen/memo bookkeeping
+            return PrePlan(cov=cov, pc=pc, cur_pose5=cur_pose5,
+                           regen=jnp.bool_(False),
+                           edge_memo=state.edge_memo, banned=state.banned,
+                           k_rot=k_rot, k_rot2=k_rot2, k_move=k_move,
+                           k_plan=k_plan, new_key=key)
         # Regen condition + collision memo (nbp_planning.py:134-160).
         path_exhausted = state.path_record >= state.path_len
         nxt_candidate = state.path[
@@ -414,6 +423,15 @@ class ScanRollout:
         """Move phase: next index, anti-revisit, captures, state update."""
         p = self.p
         A = self.A
+        if "logic" in self.ablate:  # profiling: passthrough move logic
+            new_state = ScanState(
+                pc=pre.pc, traj=state.traj, cur=state.cur, prev=state.cur,
+                has_prev=jnp.bool_(True), path=path, path_len=path_len,
+                path_record=state.path_record, edge_memo=edge_memo,
+                banned=banned, visited_rot=state.visited_rot,
+                key=pre.new_key,
+            )
+            return new_state, pre.cov
         path_record = jnp.where(pre.regen, 0, state.path_record)
 
         # Next index (nbp_planning.py:252-266).
@@ -531,34 +549,56 @@ class ScanRollout:
 
         return bstep
 
+    def _init_fn(self, n_poses: int):
+        """Module-cached jitted state initializer: one dispatch per run.
+
+        An eager initial_state issues ~12 small device calls; through the
+        axon tunnel each pays the RPC floor, adding a ~200 ms constant per
+        rollout (one third of a 30-pose bench run). Folding initialization
+        into a single program removes it."""
+        sig = self._sig() + ("init", n_poses)
+        if sig not in _PROGRAM_CACHE:
+            p = self.p
+            intr, A, L, H = self.intr, self.A, self.L, self.H
+            interpret, stratified = self.interpret, self.stratified
+
+            @jax.jit
+            def init(scene: SceneArrays, cur: jnp.ndarray,
+                     seed: jnp.ndarray) -> ScanState:
+                key = jax.random.PRNGKey(seed)
+                key, k0 = jax.random.split(key)
+                pc = PointBuffer.create(int(p.full_pc_capacity))
+                traj = TrajectoryBuffer.create(8 * (n_poses + 4))
+                pose0 = self._pose5(scene, cur)
+                pc, traj, _ = move_and_capture(
+                    scene.tri_soa, scene.n_tris, pose0, pose0, pc, traj, k0,
+                    intr, n_steps=int(p.n_interpolation_steps), n_azim=A,
+                    n_slots=int(p.points_per_frame),
+                    gathering_factor=float(p.gathering_factor),
+                    sensor_range=float(p.sensor_range), interpret=interpret,
+                    stratified=stratified,
+                )
+                visited = jnp.zeros((L, H, A), bool)
+                visited = visited.at[cur[0], cur[1], cur[2]].set(True)
+                return ScanState(
+                    pc=pc, traj=traj, cur=cur, prev=cur,
+                    has_prev=jnp.bool_(False),
+                    path=jnp.zeros((int(p.max_path_len), 3), jnp.int32),
+                    path_len=jnp.int32(0), path_record=jnp.int32(0),
+                    edge_memo=jnp.zeros((4, L, H), jnp.int8),
+                    banned=jnp.zeros((L, H), bool),
+                    visited_rot=visited, key=key,
+                )
+
+            _PROGRAM_CACHE[sig] = init
+        return _PROGRAM_CACHE[sig]
+
     def initial_state(self, seed: int = 8, n_poses: int = 101) -> ScanState:
-        p = self.p
-        key = jax.random.PRNGKey(seed)
-        key, k0 = jax.random.split(key)
-        pc = PointBuffer.create(int(p.full_pc_capacity))
-        traj = TrajectoryBuffer.create(8 * (n_poses + 4))
         start = self.assets.start_cam_idx
         cur = jnp.asarray([int(start[0]), int(start[2]), int(start[4])],
                           jnp.int32)
-        pose0 = self._pose5(self.scene, cur)
-        pc, traj, _ = move_and_capture(
-            self.tri_soa, self.n_tris, pose0, pose0, pc, traj, k0, self.intr,
-            n_steps=int(p.n_interpolation_steps), n_azim=self.A,
-            n_slots=int(p.points_per_frame),
-            gathering_factor=float(p.gathering_factor),
-            sensor_range=float(p.sensor_range), interpret=self.interpret,
-            stratified=self.stratified,
-        )
-        visited = jnp.zeros((self.L, self.H, self.A), bool)
-        visited = visited.at[cur[0], cur[1], cur[2]].set(True)
-        return ScanState(
-            pc=pc, traj=traj, cur=cur, prev=cur, has_prev=jnp.bool_(False),
-            path=jnp.zeros((int(p.max_path_len), 3), jnp.int32),
-            path_len=jnp.int32(0), path_record=jnp.int32(0),
-            edge_memo=jnp.zeros((4, self.L, self.H), jnp.int8),
-            banned=jnp.zeros((self.L, self.H), bool),
-            visited_rot=visited, key=key,
-        )
+        return self._init_fn(n_poses)(self.scene, cur,
+                                      jnp.asarray(seed, jnp.uint32))
 
     def _rollout_fn(self, n_poses: int):
         """Module-cached jitted scan program (scene + variables are args)."""

@@ -110,7 +110,8 @@ def move_and_capture(
             gathering_factor=gathering_factor, sensor_range=sensor_range,
             stratified=stratified,
         )
-        return (pc_c.append(batch), traj_c.append(pose[:3])), zbuf
+        return (pc_c.append(batch, prefix_valid=True),
+                traj_c.append(pose[:3])), zbuf
 
     (pc, traj), zbufs = jax.lax.scan(
         substep, (pc, traj), jnp.arange(1, n_steps + 1, dtype=jnp.int32))
@@ -142,4 +143,4 @@ def observe_current(
         gathering_factor=gathering_factor, sensor_range=sensor_range,
         stratified=stratified,
     )
-    return pc.append(batch)
+    return pc.append(batch, prefix_valid=True)

@@ -139,15 +139,29 @@ class PointBuffer(NamedTuple):
             count=jnp.zeros((), jnp.int32),
         )
 
-    def append(self, batch: FramePoints) -> "PointBuffer":
-        """Append the valid prefix-compacted batch (order-stable)."""
+    def append(self, batch: FramePoints,
+               prefix_valid: bool = False) -> "PointBuffer":
+        """Append the valid prefix-compacted batch (order-stable).
+
+        prefix_valid=True (static) skips the compaction sort when the
+        caller guarantees batch.valid is a leading prefix — true of every
+        backproject_sample batch: the stratified path orders valid strata
+        first and the top_k path orders valid scores first, so the argsort
+        here would be an identity permutation bought with a per-frame
+        bitonic sort.
+        """
         n_new = jnp.sum(batch.valid).astype(jnp.int32)
-        # Compact valid points to the front of the batch.
-        order = jnp.argsort(~batch.valid, stable=True)
-        pts = batch.points[order]
+        if prefix_valid:
+            pts = batch.points
+            front = batch.valid
+        else:
+            # Compact valid points to the front of the batch.
+            order = jnp.argsort(~batch.valid, stable=True)
+            pts = batch.points[order]
+            front = jnp.arange(pts.shape[0]) < n_new
         cap = self.points.shape[0]
         slots = self.count + jnp.arange(pts.shape[0])
-        ok = (jnp.arange(pts.shape[0]) < n_new) & (slots < cap)
+        ok = front & (slots < cap)
         slots = jnp.where(ok, slots, cap)  # out-of-range writes dropped
         new_points = self.points.at[slots].set(pts, mode="drop")
         new_count = jnp.minimum(self.count + n_new, cap)

@@ -730,7 +730,7 @@ def train_macarons_online(
                     int(p.points_per_frame),
                     gathering_factor=float(p.gathering_factor),
                     sensor_range=float(p.sensor_range))
-                pc = pc.append(b)
+                pc = pc.append(b, prefix_valid=True)
                 surface = surface.fill(b.points, b.valid)
                 proxy = carve_with_frame(
                     proxy, z_t, R_t, T_t, camera_center(R_t, T_t), intr,

@@ -281,3 +281,50 @@ def test_memory_slot_reuse_and_ordered_replay(tmp_path):
     base_z = scene["base_clouds"].shape  # (3, 16, 3)
     assert base_z == (3, 16, 3)
     assert scene["replay_cams"].shape == (1, 3)
+
+
+def test_point_buffer_append_prefix_fast_path():
+    """append(prefix_valid=True) must equal the compacting path whenever
+    the batch's validity is a leading prefix (the invariant the fast path
+    rides on)."""
+    buf_a = PointBuffer.create(32)
+    buf_b = PointBuffer.create(32)
+    pts = jnp.arange(36).reshape(12, 3).astype(jnp.float32)
+    valid = jnp.arange(12) < 7
+    a = buf_a.append(FramePoints(points=pts, valid=valid))
+    b = buf_b.append(FramePoints(points=pts, valid=valid), prefix_valid=True)
+    assert int(a.count) == int(b.count) == 7
+    np.testing.assert_array_equal(np.asarray(a.points), np.asarray(b.points))
+    # Capacity overflow drops the tail identically.
+    a2 = a.append(FramePoints(points=pts * 10, valid=jnp.ones(12, bool)))
+    b2 = b.append(FramePoints(points=pts * 10, valid=jnp.ones(12, bool)),
+                  prefix_valid=True)
+    a3 = a2.append(FramePoints(points=pts + 99, valid=valid))
+    b3 = b2.append(FramePoints(points=pts + 99, valid=valid),
+                   prefix_valid=True)
+    assert int(a3.count) == int(b3.count)
+    np.testing.assert_array_equal(np.asarray(a3.points),
+                                  np.asarray(b3.points))
+
+
+def test_backproject_sample_valid_is_prefix():
+    """Both sampler paths order valid slots first: the stratified path
+    ranks valid strata before empty ones, the top_k path ranks valid
+    scores (< 1) before invalid (2.0). PointBuffer.append(prefix_valid=
+    True) and coverage_percentage(s_count=count) both rely on this."""
+    from nextbestpath_tpu.sim.sensor import backproject_sample
+
+    H, W = 32, 57
+    intr = CameraIntrinsics(H, W, 60.0, 1.0, 750.0)
+    key = jax.random.PRNGKey(0)
+    # Half the frame is background (-1), half valid depth.
+    zbuf = jnp.where(jnp.arange(H * W).reshape(H, W) % 3 == 0, 5.0, -1.0)
+    R = jnp.eye(3)
+    T = jnp.zeros(3)
+    for strat in (False, True):
+        fp = backproject_sample(zbuf, R, T, intr, key, n_slots=128,
+                                gathering_factor=0.2, stratified=strat)
+        v = np.asarray(fp.valid)
+        n = int(v.sum())
+        assert n > 0
+        assert v[:n].all() and not v[n:].any(), f"stratified={strat}"

@@ -22,7 +22,7 @@ from nextbestpath_tpu.config import default_params
 from nextbestpath_tpu.eval.scan_rollout import ScanRollout
 from nextbestpath_tpu.models import NBP
 
-POSES = 20
+POSES = int(os.environ.get("PROFILE_POSES", "20"))
 params = default_params()
 assets = pack_generated_scene(generate_scene("simple", seed=8), params=params)
 model = NBP()
@@ -33,10 +33,11 @@ import sys as _sys
 CONFIGS = [(), ("coverage",), ("plan",), ("model_input",), ("observe",),
            ("moves",),
            ("coverage", "plan", "model_input", "observe", "moves")]
-if len(_sys.argv) > 1:  # e.g. `profile_scan.py none` -> unablated only
-    names = set(_sys.argv[1:])
-    CONFIGS = [c for c in CONFIGS
-               if ("none" in names and c == ()) or (c and set(c) <= names)]
+if len(_sys.argv) > 1:
+    # Each CLI arg is one config: 'none' or '+'-joined stage names,
+    # e.g. `profile_scan.py none coverage+plan`.
+    CONFIGS = [() if a == "none" else tuple(a.split("+"))
+               for a in _sys.argv[1:]]
 for ablate in CONFIGS:
     r = ScanRollout(assets, model, variables, params=params, ablate=ablate)
     r.run(n_poses=POSES, seed=8)  # compile
