@@ -98,7 +98,12 @@ def move_and_capture(
     The substep loop is a lax.scan (not a Python unroll): the rollout scan
     step embeds this 4x, so a rolled body keeps the traced program ~4x
     smaller — compile time through the remote-TPU compiler is a first-order
-    cost (BASELINE.md round 1: 8-12 min per fresh process)."""
+    cost (BASELINE.md round 1: 8-12 min per fresh process). A batched
+    variant (render all n_steps frames via render_depth_batch + vmapped
+    subsampling) was measured SLOWER on v5e (40.2 vs 43.0 poses/s at the
+    full bench config): XLA keeps each substep's render->backproject->append
+    chain fused and data-hot, while batching materializes all frames and
+    ray grids to HBM first."""
 
     def substep(carry, s):
         pc_c, traj_c = carry
