@@ -3,6 +3,7 @@ from .raytrace import (
     ray_hits,
     ray_hits_ref,
     render_depth,
+    render_depth_batch,
     segments_hit_mesh,
     tris_to_soa,
 )
@@ -13,6 +14,7 @@ from .scatter2d import (
     ego2d,
     height_bins,
     img_coords,
+    plan_count_imgs,
     scatter_count_img,
     scatter_mean_img,
 )
@@ -20,6 +22,7 @@ from .coverage import (
     compute_auc,
     coverage_percentage,
     masked_min_dists,
+    min_dists,
     pc_similarity,
     subsample_buffer,
 )
