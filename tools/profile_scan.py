@@ -25,9 +25,16 @@ from nextbestpath_tpu.models import NBP
 POSES = int(os.environ.get("PROFILE_POSES", "20"))
 params = default_params()
 assets = pack_generated_scene(generate_scene("simple", seed=8), params=params)
-model = NBP()
+# PROFILE_BF16=1 + PROFILE_CKPT=<path> reproduce the bench configuration
+# (trained policy, bf16 conv compute) so the attribution matches bench.py.
+model = NBP(dtype=jnp.bfloat16) if os.environ.get("PROFILE_BF16") else NBP()
 variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
     jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 5)))
+ckpt = os.environ.get("PROFILE_CKPT")
+if ckpt:
+    from nextbestpath_tpu.utils.checkpoint import load_checkpoint
+    variables, _, _ep, _ = load_checkpoint(ckpt, variables)
+    print(f"# loaded {ckpt} (epoch {_ep})", flush=True)
 
 import sys as _sys
 CONFIGS = [(), ("coverage",), ("plan",), ("model_input",), ("observe",),
