@@ -187,6 +187,12 @@ def min_dists(gt: jnp.ndarray, pts: jnp.ndarray, pts_valid: jnp.ndarray,
     Semantically identical to masked_min_dists (the kernel is exact f32; the
     jnp path carries ~5e-7 relative error from the 3-pass bf16 matmul).
     s_count bounds the kernel's inner loop when validity is a prefix mask.
+
+    gt_valid is NUMERICS-ONLY and only consumed by the jnp path (it centers
+    the masked matmul); the exact-f32 kernel ignores it, so rows where
+    gt_valid is False still get a real distance on TPU. Callers that mask
+    invalid GT rows downstream (coverage_percentage does) are unaffected;
+    any other caller must mask the output itself.
     """
     if use_kernel is None:
         use_kernel = _use_kernel()

@@ -470,25 +470,19 @@ def render_depth(tri_soa: jnp.ndarray, n_tris, R: jnp.ndarray, T: jnp.ndarray,
 def render_depth_batch(tri_soa: jnp.ndarray, n_tris, Rs: jnp.ndarray,
                        Ts: jnp.ndarray, intr: CameraIntrinsics,
                        interpret: Optional[bool] = None) -> jnp.ndarray:
-    """Depth frames (B, H, W) for B cameras in ONE kernel invocation.
+    """Depth frames (B, H, W) for B cameras (B static, unrolled).
 
-    Bit-identical to stacking render_depth per camera (each ray block is
-    independent and H*W is RAY_BLOCK-aligned at both 256x456 and 64x114);
-    batching the rollout's interpolation frames amortizes kernel ramp-up
-    and keeps the ray grid large.
+    Bit-identical to stacking render_depth per camera BY CONSTRUCTION: each
+    camera routes through the same ray_hits_pinhole MXU kernel with the same
+    per-camera matmul shapes, so every intermediate is the identical program.
+    (A previous revision batched all B*H*W rays through the general
+    elementwise kernel in one call; that kernel's hit math differs from the
+    pinhole factorization at ~1e-7 relative, which broke the identity.)
     """
     B = Rs.shape[0]
-    d_view = intr.pixel_ray_dirs_view().reshape(-1, 3)
-    # out[b, n, e] = sum_d d_view[n, d] * Rs[b, e, d]  == d_view @ Rs[b].T
-    d_world = jnp.einsum("nd,bed->bne", d_view, Rs,
-                         precision=jax.lax.Precision.HIGHEST)
-    eyes = jax.vmap(camera_center)(Rs, Ts)
-    origins = jnp.broadcast_to(eyes[:, None, :], d_world.shape)
-    t, _ = ray_hits(origins.reshape(-1, 3), d_world.reshape(-1, 3), tri_soa,
-                    n_tris, t_min=float(intr.znear), t_max=float(intr.zfar),
-                    interpret=interpret)
-    zbuf = jnp.where(t < _INF, t, -1.0)
-    return zbuf.reshape(B, intr.image_height, intr.image_width)
+    frames = [render_depth(tri_soa, n_tris, Rs[b], Ts[b], intr,
+                           interpret=interpret) for b in range(B)]
+    return jnp.stack(frames, axis=0)
 
 
 def render_rgbd(tri_soa: jnp.ndarray, n_tris, R: jnp.ndarray, T: jnp.ndarray,

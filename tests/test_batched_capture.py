@@ -1,9 +1,10 @@
-"""Bit-parity of the batched move-capture path vs the rolled per-frame loop.
+"""Bit-parity of batched capture helpers vs the rolled per-frame loop.
 
-move_and_capture renders all n_steps interpolation frames in one ray-kernel
-call (ops/raytrace.render_depth_batch) and vmaps the subsampler with the
-same per-step fold_in keys the rolled loop used — the resulting point
-buffer must be IDENTICAL, not just close."""
+render_depth_batch must equal stacking render_depth per camera exactly
+(both route through the pinhole MXU kernel). move_and_capture itself keeps
+the rolled lax.scan path (the fully-batched variant measured slower,
+sim/rollout.py); the second test validates its prefix_valid append refactor
+against a hand-rolled reference of the same per-substep sequence."""
 import jax
 import jax.numpy as jnp
 import numpy as np
