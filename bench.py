@@ -42,6 +42,11 @@ def main():
     ap.add_argument("--stratified", action="store_true", default=True)
     ap.add_argument("--no-stratified", dest="stratified",
                     action="store_false")
+    # The contract line additionally carries the reference-faithful number
+    # (iid pixel gather instead of stratified sampling) so every round's
+    # BENCH_r*.json records both; --no-faithful skips the second program.
+    ap.add_argument("--faithful", action="store_true", default=True)
+    ap.add_argument("--no-faithful", dest="faithful", action="store_false")
     args = ap.parse_args()
 
     import jax
@@ -145,12 +150,35 @@ def main():
         res = rollout.run(n_poses=poses, seed=args.seed + 1)
 
     value = res.steps_per_sec
-    print(json.dumps({
+    line = {
         "metric": "env_steps_per_sec",
         "value": round(value, 4),
         "unit": "poses/s",
         "vs_baseline": round(value / REFERENCE_POSES_PER_SEC, 4),
-    }))
+    }
+
+    # Reference-faithful second measurement (iid pixel gather,
+    # macarons_utils.py:2811-2847) so the per-round record carries both
+    # sampling modes (BASELINE.md round-4 policy). Same scene, weights and
+    # protocol; only the subsampler differs, so the delta is the stratified
+    # speedup itself.
+    if args.faithful and args.stratified and args.batch == 1:
+        from nextbestpath_tpu.config import Params
+
+        params_f = Params(params.as_dict(), flatten=False)
+        params_f.update(stratified_sampling=False)
+        rollout_f = ScanRollout(assets, model, variables, params=params_f)
+        print("# faithful (iid-sampling) rollout constructed; warmup",
+              file=sys.stderr, flush=True)
+        warmup(rollout_f)
+        res_f = rollout_f.run(n_poses=poses, seed=args.seed + 1)
+        line["faithful_value"] = round(res_f.steps_per_sec, 4)
+        line["faithful_vs_baseline"] = round(
+            res_f.steps_per_sec / REFERENCE_POSES_PER_SEC, 4)
+        print(f"# faithful coverage final={res_f.coverage_evolution[-1]:.4f} "
+              f"auc={res_f.auc:.4f}", file=sys.stderr)
+
+    print(json.dumps(line))
     # Secondary detail on stderr (not part of the contract line).
     print(f"# coverage final={res.coverage_evolution[-1]:.4f} "
           f"auc={res.auc:.4f} points={res.n_points} "

@@ -25,12 +25,18 @@ def held_out_seed(difficulty_index: int, scene_index: int) -> int:
 
 def held_out_assets(params, scenes_per_diff: int = 2,
                     difficulties: Sequence[str] = DIFFICULTIES,
-                    pad: bool = True):
+                    pad: bool = True, scene_offset: int = 0):
     """Packed held-out scenes for the given difficulties (training-disjoint).
 
     Difficulty indices are always taken from the FULL difficulty list, so a
     filtered run (e.g. only "hard") still evaluates the same scenes as the
     4-difficulty table.
+
+    scene_offset shifts the per-difficulty scene index: the trainer's
+    periodic AUC-selection eval uses scene j=0 of each difficulty
+    (train_nbp.py --eval-procgen), so a promotion gate that must be
+    UNCONTAMINATED by checkpoint selection passes scene_offset >= 1 to
+    score scenes the selection never saw.
     """
     from ..assets import generate_scene, pack_generated_scene
     from ..assets.scene_assets import pad_assets_to_common
@@ -39,7 +45,7 @@ def held_out_assets(params, scenes_per_diff: int = 2,
     for i, diff in enumerate(DIFFICULTIES):
         if diff not in difficulties:
             continue
-        for j in range(scenes_per_diff):
+        for j in range(scene_offset, scene_offset + scenes_per_diff):
             assets.append(pack_generated_scene(
                 generate_scene(diff, seed=held_out_seed(i, j)),
                 params=params))

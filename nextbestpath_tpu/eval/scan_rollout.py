@@ -251,10 +251,14 @@ class ScanRollout:
 
     # -- planning branch ----------------------------------------------------
 
-    def _plan(self, scene: SceneArrays, variables, pc: PointBuffer, traj,
-              cur_pose5, cur, edge_memo, banned, visited_rot, key):
+    def _plan_fields(self, scene: SceneArrays, variables, pc: PointBuffer,
+                     traj, cur_pose5, banned):
+        """Retry-independent half of the plan: U-Net forward, layout fusion,
+        candidate scoring, edge blocking. Factored out so the batched step
+        can run it once and scalar-gate the retry attempts (see
+        make_batched_step)."""
         p = self.p
-        L, H, A = self.L, self.H, self.A
+        L, H = self.L, self.H
         # The 5-channel model input is consumed only here, so it is built
         # inside the plan branch: non-regen poses (the majority) skip the
         # scatter entirely (the lax.cond guarantees the untaken branch does
@@ -280,6 +284,11 @@ class ScanRollout:
                                                        train=False)
             layout, proj256 = fuse_layout_from_projections(
                 obstacle_map[0, :, :, 0], proj, filt, traj_img)
+        if "value_flat" in self.ablate:
+            # Diagnostic: a uniform value map isolates how much rollout
+            # quality the VALUE decoder contributes on top of the obstacle
+            # decoder + planner heuristics (training-plateau probe).
+            value_map = jnp.ones_like(value_map)
         scores = score_candidates_test(
             scene.positions, cur_pose5[:3], value_map[0], proj256,
             banned, value_map_size=int(p.value_map_size[0]),
@@ -289,60 +298,80 @@ class ScanRollout:
             scene.positions, cur_pose5[:3], layout, L, H,
             layout_size=int(p.pc2img_size[0]),
         )
+        return scores, layout_blocked, value_map[0]
+
+    def _plan_attempt(self, scene: SceneArrays, scores, layout_blocked, vm0,
+                      cur_pose5, cur_lh, visited_rot, key, memo):
+        """One planning attempt against the current edge memo.
+
+        Returns (memo', path, path_len, done). done means either a usable
+        path was found or nothing is reachable at all (the reference's
+        exhausted candidate list); a first-segment GT collision records the
+        edge in the memo and leaves done False so the next attempt reroutes.
+        """
+        p = self.p
+        L, H, A = self.L, self.H, self.A
         gt_eb = scene.gt_edge_blocked
         max_len = int(p.max_path_len)
+        blocked = apply_edge_memo(layout_blocked, memo)
+        dist = bfs_distance_field(blocked, cur_lh, L, H)
+        goal, found = select_goal(scores, dist, L, H)
+        path_arr, plen, reach = extract_path(dist, blocked, goal, L,
+                                             H, max_len=max_len)
+        rots = pick_orientations(
+            path_arr, jnp.arange(max_len) < plen, vm0,
+            scene.positions, cur_pose5[:3], visited_rot,
+            key, n_azim=A, value_map_size=int(p.value_map_size[0]),
+        )
+        first = path_arr[0]
+        d_idx = _edge_dir_index(cur_lh, first)
+        d_safe = jnp.clip(d_idx, 0, 3)
+        first_collides = (
+            (d_idx >= 0)
+            & gt_eb[d_safe, cur_lh[0], cur_lh[1]]
+            & found & (plen > 0)
+        )
+        ok = found & (plen > 0) & (~first_collides)
+        new_path = jnp.concatenate(
+            [path_arr, rots[:, None].astype(jnp.int32)], axis=-1
+        )
+        memo2 = jnp.where(first_collides,
+                          _memo_edge(memo, cur_lh, first,
+                                     EDGE_COLLISION), memo)
+        return memo2, jnp.where(ok, new_path, 0), jnp.where(ok, plen, 0), \
+            ok | (~found)
+
+    def _plan(self, scene: SceneArrays, variables, pc: PointBuffer, traj,
+              cur_pose5, cur, edge_memo, banned, visited_rot, key):
+        scores, layout_blocked, vm0 = self._plan_fields(
+            scene, variables, pc, traj, cur_pose5, banned)
+        max_len = int(self.p.max_path_len)
         cur_lh = cur[:2]
 
         def retry_body(_, carry):
-            memo, banned_c, path, path_len, done = carry
+            memo, path, path_len, done = carry
 
-            def attempt(memo, banned_c):
-                blocked = apply_edge_memo(layout_blocked, memo)
-                dist = bfs_distance_field(blocked, cur_lh, L, H)
-                goal, found = select_goal(scores, dist, L, H)
-                path_arr, plen, reach = extract_path(dist, blocked, goal, L,
-                                                     H, max_len=max_len)
-                rots = pick_orientations(
-                    path_arr, jnp.arange(max_len) < plen, value_map[0],
-                    scene.positions, cur_pose5[:3], visited_rot,
-                    key, n_azim=A, value_map_size=int(p.value_map_size[0]),
-                )
-                first = path_arr[0]
-                d_idx = _edge_dir_index(cur_lh, first)
-                d_safe = jnp.clip(d_idx, 0, 3)
-                first_collides = (
-                    (d_idx >= 0)
-                    & gt_eb[d_safe, cur_lh[0], cur_lh[1]]
-                    & found & (plen > 0)
-                )
-                ok = found & (plen > 0) & (~first_collides)
-                new_path = jnp.concatenate(
-                    [path_arr, rots[:, None].astype(jnp.int32)], axis=-1
-                )
-                memo2 = jnp.where(first_collides,
-                                  _memo_edge(memo, cur_lh, first,
-                                             EDGE_COLLISION), memo)
-                return memo2, banned_c, jnp.where(ok, new_path, 0), \
-                    jnp.where(ok, plen, 0), ok | (~found)
-                # ~found: nothing reachable at all -> stop retrying (done
-                # with empty path, like the reference's exhausted candidate
-                # list).
+            def attempt(memo):
+                return self._plan_attempt(scene, scores, layout_blocked, vm0,
+                                          cur_pose5, cur_lh, visited_rot,
+                                          key, memo)
 
-            new = jax.lax.cond(
+            return jax.lax.cond(
                 done,
-                lambda m, b: (m, b, path, path_len, done),
+                lambda m: (m, path, path_len, done),
                 attempt,
-                memo, banned_c,
+                memo,
             )
-            return new
 
-        memo, banned2, path, path_len, _ = jax.lax.fori_loop(
+        memo, path, path_len, _ = jax.lax.fori_loop(
             0, self.max_plan_retries, retry_body,
-            (edge_memo, banned,
+            (edge_memo,
              jnp.zeros((max_len, 3), jnp.int32), jnp.int32(0),
              jnp.bool_(False)),
         )
-        return memo, banned2, path, path_len
+        # banned passes through unchanged (the reference bans goals in the
+        # pre phase; attempts only memoize collided edges).
+        return memo, banned, path, path_len
 
     # -- step phases ---------------------------------------------------------
 
@@ -515,6 +544,18 @@ class ScanRollout:
         the U-Net + planner entirely even under vmap (a per-scene cond would
         lower to both-branches select). Scenes that did not request a regen
         keep their state via a per-scene select inside the plan pass.
+
+        Retry gating (round 4): inside the plan pass, the per-scene
+        4-attempt retry loop used to vmap the single-scene fori_loop, whose
+        per-scene ``lax.cond(done, ...)`` lowers to both-branch select under
+        vmap — every batched plan paid max_plan_retries x the
+        field/path/orientation cost even though attempt 1 almost always
+        succeeds. Now the retry-independent fields run once (vmapped), the
+        first attempt runs unconditionally (vmapped), and attempts 2..R sit
+        behind a SCALAR ``lax.cond(any scene not done)``, mirroring the
+        any-regen gate one level down. Per-scene results are selected so the
+        sequence of attempts each scene sees is identical to the
+        single-scene fori_loop (bit-parity kept; tests/test_scan_rollout).
         """
         def bstep(scene_b: SceneArrays, variables, states: ScanState, pose_i):
             pre_b = jax.vmap(self._pre, in_axes=(0, 0, None))(
@@ -522,20 +563,42 @@ class ScanRollout:
             any_regen = jnp.any(pre_b.regen)
 
             def do_plans(memo_b, bann_b):
-                def one(scene, pre, st, memo, bann):
-                    m2, b2, p2, l2 = self._plan(
-                        scene, variables, pre.pc, st.traj,
-                        pre.cur_pose5, st.cur, memo, bann,
-                        st.visited_rot, pre.k_plan)
-                    sel = pre.regen
+                scores_b, lb_b, vm_b = jax.vmap(
+                    self._plan_fields, in_axes=(0, None, 0, 0, 0, 0))(
+                        scene_b, variables, pre_b.pc, states.traj,
+                        pre_b.cur_pose5, bann_b)
+                cur_lh_b = states.cur[:, :2]
+
+                def attempt_b(memo):
+                    return jax.vmap(self._plan_attempt)(
+                        scene_b, scores_b, lb_b, vm_b, pre_b.cur_pose5,
+                        cur_lh_b, states.visited_rot, pre_b.k_plan, memo)
+
+                memo, path, plen, done = attempt_b(memo_b)
+
+                def retry(carry):
+                    memo_c, path_c, plen_c, done_c = carry
+                    m2, p2, l2, d2 = attempt_b(memo_c)
+                    keep_s = done_c
                     return (
-                        jnp.where(sel, m2, memo),
-                        jnp.where(sel, b2, bann),
-                        jnp.where(sel, p2, st.path),
-                        jnp.where(sel, l2, st.path_len),
+                        jnp.where(keep_s[:, None, None, None], memo_c, m2),
+                        jnp.where(keep_s[:, None, None], path_c, p2),
+                        jnp.where(keep_s, plen_c, l2),
+                        done_c | d2,
                     )
 
-                return jax.vmap(one)(scene_b, pre_b, states, memo_b, bann_b)
+                carry = (memo, path, plen, done)
+                for _ in range(self.max_plan_retries - 1):
+                    carry = jax.lax.cond(jnp.any(~carry[3]), retry,
+                                         lambda c: c, carry)
+                memo_f, path_f, plen_f, _ = carry
+                sel = pre_b.regen
+                return (
+                    jnp.where(sel[:, None, None, None], memo_f, memo_b),
+                    bann_b,
+                    jnp.where(sel[:, None, None], path_f, states.path),
+                    jnp.where(sel, plen_f, states.path_len),
+                )
 
             def keep(memo_b, bann_b):
                 return memo_b, bann_b, states.path, states.path_len
@@ -616,16 +679,52 @@ class ScanRollout:
             _PROGRAM_CACHE[sig] = rollout
         return _PROGRAM_CACHE[sig]
 
+    def _segment_fn(self, seg_len: int):
+        """Jitted scan SEGMENT: scans poses [start, start + seg_len) with a
+        traced start, so one compiled program serves every segment of every
+        run length. Splitting a long rollout into segments is bit-exact
+        (the step consumes only the absolute pose index; state stays on
+        device between calls) and keeps each device execution short — the
+        tunneled TPU worker was observed to die mid-execution on programs
+        running for minutes (single-scene 2500-pose and batched 8x101-pose
+        scans both reproduced it; round-4 crash bisect, BASELINE.md) while
+        sub-minute executions are reliable."""
+        sig = self._sig() + ("seg", seg_len)
+        if sig not in _PROGRAM_CACHE:
+            step = self.make_scene_step()
+
+            @jax.jit
+            def rollout_seg(scene, variables, state, start):
+                def body(s, i):
+                    return step(scene, variables, s, i)
+
+                return jax.lax.scan(body, state,
+                                    start + jnp.arange(seg_len))
+
+            _PROGRAM_CACHE[sig] = rollout_seg
+        return _PROGRAM_CACHE[sig]
+
     def run(self, n_poses: int = 101, seed: int = 8,
-            variables=None) -> RolloutResult:
-        rollout = self._rollout_fn(n_poses)
+            variables=None, segment_len: Optional[int] = None
+            ) -> RolloutResult:
         state = self.initial_state(seed=seed, n_poses=n_poses)
         if variables is not None and self._fold_bn:
             variables = fold_bn_variables(variables)
         v = variables if variables is not None else self.variables
         t1 = time.time()
-        final, coverage = rollout(self.scene, v, state)
-        coverage = np.asarray(coverage)
+        if segment_len and segment_len < n_poses:
+            covs = []
+            final, done = state, 0
+            while done < n_poses:
+                s = min(segment_len, n_poses - done)
+                final, cov = self._segment_fn(s)(self.scene, v, final,
+                                                 jnp.int32(done))
+                covs.append(cov)
+                done += s
+            coverage = np.concatenate([np.asarray(c) for c in covs])
+        else:
+            final, coverage = self._rollout_fn(n_poses)(self.scene, v, state)
+            coverage = np.asarray(coverage)
         wall = time.time() - t1
         cam = np.asarray(final.traj.xyz[: int(final.traj.count)])
         return RolloutResult(
@@ -713,7 +812,26 @@ class BatchedScanRollout:
             _PROGRAM_CACHE[sig] = rollout
         return _PROGRAM_CACHE[sig]
 
-    def run(self, n_poses: int = 101, seed: int = 8, variables=None):
+    def _segment_fn(self, seg_len: int):
+        """Batched scan segment with a traced start (see
+        ScanRollout._segment_fn for why long executions are split)."""
+        sig = self.rollouts[0]._sig() + ("bseg", self.n_scenes, seg_len)
+        if sig not in _PROGRAM_CACHE:
+            bstep = self.rollouts[0].make_batched_step()
+
+            @jax.jit
+            def rollout_seg(scene_batch, variables, states, start):
+                def body(s, i):
+                    return bstep(scene_batch, variables, s, i)
+
+                return jax.lax.scan(body, states,
+                                    start + jnp.arange(seg_len))
+
+            _PROGRAM_CACHE[sig] = rollout_seg
+        return _PROGRAM_CACHE[sig]
+
+    def run(self, n_poses: int = 101, seed: int = 8, variables=None,
+            segment_len: Optional[int] = None):
         states = [r.initial_state(seed=seed + i, n_poses=n_poses)
                   for i, r in enumerate(self.rollouts)]
         batched = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
@@ -723,10 +841,21 @@ class BatchedScanRollout:
         if self.mesh is not None:
             batched = jax.device_put(batched, self._data_sharding)
             v = jax.device_put(v, self._repl_sharding)
-        rollout = self._rollout_fn(n_poses)
         t1 = time.time()
-        final, coverage = rollout(self.scene_batch, v, batched)
-        coverage = np.asarray(coverage)  # (n_poses, n_scenes)
+        if segment_len and segment_len < n_poses:
+            covs = []
+            final, done = batched, 0
+            while done < n_poses:
+                s = min(segment_len, n_poses - done)
+                final, cov = self._segment_fn(s)(self.scene_batch, v,
+                                                 final, jnp.int32(done))
+                covs.append(cov)
+                done += s
+            coverage = np.concatenate([np.asarray(c) for c in covs])
+        else:
+            final, coverage = self._rollout_fn(n_poses)(self.scene_batch, v,
+                                                        batched)
+            coverage = np.asarray(coverage)  # (n_poses, n_scenes)
         wall = time.time() - t1
         results = []
         for i in range(self.n_scenes):

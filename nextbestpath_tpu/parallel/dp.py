@@ -92,11 +92,17 @@ def dp_train_demo(n_devices: int, image_size: int = 64,
     opt_state = tx.init(variables["params"])
 
     K = 8
+    # Rows DIFFER per device on purpose: with identical rows every device
+    # computes identical gradients and a missing gradient psum would be
+    # invisible to any parity check. Distinct rows make per-device grads
+    # distinct, so the dryrun's 8-dev-vs-1-dev post-update loss comparison
+    # (__graft_entry__._dryrun_multichip_impl) actually discriminates.
+    row = (1.0 + jnp.arange(B, dtype=jnp.float32) / B)[:, None, None, None]
     batch = dict(
-        x=jnp.ones((B, S, S, 5), jnp.float32),
+        x=jnp.ones((B, S, S, 5), jnp.float32) * row,
         layout=jnp.zeros((B, S, S, 1), jnp.float32),
         pixels=jnp.zeros((B, K, 3), jnp.int32),
-        gains=jnp.zeros((B, K), jnp.float32),
+        gains=jnp.arange(B * K, dtype=jnp.float32).reshape(B, K) / (B * K),
         weights=jnp.ones((B, K), jnp.float32),
     )
 
@@ -114,6 +120,81 @@ def dp_train_demo(n_devices: int, image_size: int = 64,
     if verbose:
         print(f"dp_train_demo({n_devices}): loss = {float(loss):.4f}")
     return float(loss), mesh
+
+
+def dp_grad_parity(n_devices: int, image_size: int = 64, width: int = 16,
+                   axis: str = "data"):
+    """Loss + gradient parity between an n-device and a 1-device mesh.
+
+    The DDP invariant (reference: DDP all-reduce semantics,
+    macarons_utils.py:235-240, 483-494): the same GLOBAL batch must produce
+    the same loss and the same mean gradient whether it is sharded over n
+    devices (GSPMD inserts the psum) or lives on one. Batch rows are
+    per-device distinct — with identical rows a missing reduction is
+    invisible. Returns dict(loss_n, loss_1, norm_n, norm_1, cosine).
+
+    The whole check runs under jax.default_matmul_precision("highest"):
+    at this build's default bf16 conv precision the reduction-order noise
+    alone reaches ~2e-4 on the loss and pushes the gradient cosine to
+    ~0.998 (measured), which would drown real defects; at f32 the
+    legitimate noise is ~1e-6 while a lost/duplicated gradient reduction
+    still shifts the norm by tens of percent.
+    """
+    import numpy as np
+
+    model = NBP(width=width)
+    B, S, K = n_devices, image_size, 8
+    # RANDOM pixels, not constant rows: per-row-constant images make the
+    # BatchNorm channel variance collapse toward zero and its E[x^2]-mu^2
+    # form amplifies benign reduction-order noise by orders of magnitude
+    # (measured: constant rows put the 8-dev/1-dev gradient cosine at
+    # ~0.998 with no bug; random inputs restore ~1e-6-level agreement).
+    kx, kg = jax.random.split(jax.random.PRNGKey(7))
+    batch = dict(
+        x=jax.random.normal(kx, (B, S, S, 5), jnp.float32),
+        layout=jnp.zeros((B, S, S, 1), jnp.float32),
+        pixels=jnp.zeros((B, K, 3), jnp.int32),
+        gains=jax.random.uniform(kg, (B, K), jnp.float32),
+        weights=jnp.ones((B, K), jnp.float32),
+    )
+    variables = jax.jit(lambda k, xx: model.init(k, xx, train=True))(
+        jax.random.PRNGKey(0), batch["x"])
+
+    def run(mesh: Mesh):
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P(axis))
+
+        def loss_fn(params, bstats, b):
+            (vm, om), _ = model.apply(
+                {"params": params, "batch_stats": bstats},
+                b["x"], train=True, mutable=["batch_stats"])
+            b_idx = jnp.arange(vm.shape[0])[:, None]
+            pv = vm[b_idx, b["pixels"][..., 1], b["pixels"][..., 2],
+                    b["pixels"][..., 0]]
+            return nbp_loss(params["log_vars"], pv, b["gains"], om,
+                            b["layout"], value_weight=b["weights"])
+
+        batch_spec = {k: data for k in batch}
+        fn = jax.jit(jax.value_and_grad(loss_fn),
+                     in_shardings=(repl, repl, batch_spec),
+                     out_shardings=(repl, repl))
+        v = jax.device_put(variables, repl)
+        bb = {k: jax.device_put(x, data) for k, x in batch.items()}
+        loss, grads = fn(v["params"], v["batch_stats"], bb)
+        flat = jnp.concatenate([jnp.ravel(g).astype(jnp.float64)
+                                if jax.config.jax_enable_x64
+                                else jnp.ravel(g)
+                                for g in jax.tree.leaves(grads)])
+        return float(loss), np.asarray(flat)
+
+    with jax.default_matmul_precision("highest"):
+        loss_n, g_n = run(make_mesh(n_devices, axis=axis))
+        loss_1, g_1 = run(make_mesh(1, axis=axis))
+    norm_n = float(np.linalg.norm(g_n))
+    norm_1 = float(np.linalg.norm(g_1))
+    cos = float(np.dot(g_n, g_1) / max(norm_n * norm_1, 1e-30))
+    return dict(loss_n=loss_n, loss_1=loss_1, norm_n=norm_n, norm_1=norm_1,
+                cosine=cos)
 
 
 def dp_rollout_demo(mesh: Mesh, n_scenes: int = 2, n_poses: int = 3,

@@ -152,6 +152,7 @@ def run_training_nbp_scan(
     db = ReplayDB()
     validation_data: List = []
     best_val = float("inf")
+    best_auc = float("-inf")
     start_epoch = 0
     db_high_water = 0
     log = {"train": [], "val": [], "coverage_after_trajectory": [],
@@ -177,6 +178,7 @@ def run_training_nbp_scan(
         state = _dc.replace(state, variables=variables, opt_state=opt_state,
                             lr=lr)
         best_val = float(extra.get("best_val", best_val))
+        best_auc = float(extra.get("best_auc", best_auc))
         start_epoch = int(epoch) + 1
         if not db_dir:
             raise ValueError(
@@ -256,18 +258,46 @@ def run_training_nbp_scan(
 
         if db_dir:
             db_high_water = db.save_epoch(db_dir, epoch, db_high_water)
-        save_checkpoint(latest_path, state.variables,
-                        opt_state=state.opt_state, epoch=epoch,
-                        extra={"lr": state.lr, "best_val": best_val})
 
         if evaluator is not None and epoch > 0 and epoch % eval_every == 0:
-            results = evaluator.run(n_poses=eval_poses, seed=999,
-                                    variables=state.variables)
-            aucs = {a.name: round(r.auc, 4)
-                    for a, r in zip(eval_scenes, results)}
-            log["eval_auc"].append({"epoch": epoch, "auc": aucs})
+            # Checkpoint selection runs on held-out ROLLOUT AUC, not val
+            # loss: across 11 checkpoints of the 33-epoch round-2 run the
+            # Spearman correlation between val loss and mean rollout AUC is
+            # 0.018 — statistically nothing — so best-val selection was
+            # selecting on noise (round-4 plateau diagnosis, BASELINE.md).
+            # Two rollout seeds per scene cut the selection noise; the
+            # batched evaluator reuses one compiled program so the extra
+            # seed costs seconds.
+            import numpy as _np
+
+            per_seed = []
+            for si, s in enumerate((999, 1999)):
+                results = evaluator.run(n_poses=eval_poses, seed=s,
+                                        variables=state.variables)
+                per_seed.append([r.auc for r in results])
+            mean_per_scene = _np.mean(_np.asarray(per_seed), axis=0)
+            aucs = {a.name: round(float(m), 4)
+                    for a, m in zip(eval_scenes, mean_per_scene)}
+            mean_auc = float(mean_per_scene.mean())
+            log["eval_auc"].append({"epoch": epoch, "auc": aucs,
+                                    "mean": round(mean_auc, 4)})
             if verbose:
-                print(f"  eval AUC @ {eval_poses} poses: {aucs}", flush=True)
+                print(f"  eval AUC @ {eval_poses} poses (2 seeds): {aucs} "
+                      f"mean {mean_auc:.4f}", flush=True)
+            if mean_auc > best_auc:
+                best_auc = mean_auc
+                save_checkpoint(
+                    os.path.join(weights_dir, f"{model_tag}_best_auc.ckpt"),
+                    state.variables, epoch=epoch,
+                    extra={"mean_auc": mean_auc})
+                if verbose:
+                    print(f"  new best eval AUC {mean_auc:.4f} -> "
+                          f"{model_tag}_best_auc.ckpt", flush=True)
+
+        save_checkpoint(latest_path, state.variables,
+                        opt_state=state.opt_state, epoch=epoch,
+                        extra={"lr": state.lr, "best_val": best_val,
+                               "best_auc": best_auc})
 
         os.makedirs(log_dir, exist_ok=True)
         with open(log_path, "w") as f:

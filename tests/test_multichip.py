@@ -29,13 +29,18 @@ def test_dp_train_step_runs_sharded():
 
 
 def test_dp_train_matches_single_device():
-    """The 8-way sharded step must compute the same loss as one device
-    (same replicated weights, same global batch)."""
-    loss8, _ = dp_train_demo(8, image_size=32, n_steps=1, verbose=False)
-    loss1, _ = dp_train_demo(1, image_size=32, n_steps=1, verbose=False)
-    # Identical batch rows -> identical per-sample losses; the mean over the
-    # global batch must agree across shardings (up to reduction order).
-    assert abs(loss8 - loss1) < 1e-4
+    """The 8-way sharded step must compute the same loss AND mean gradient
+    as one device holding the same global batch (the DDP invariant,
+    macarons_utils.py:235-240). dp_grad_parity uses per-device-DISTINCT
+    batch rows — identical rows would hide a missing gradient psum — and
+    runs at HIGHEST matmul precision so real defects stand ~100x above
+    reduction-order noise."""
+    from nextbestpath_tpu.parallel.dp import dp_grad_parity
+
+    par = dp_grad_parity(4, image_size=32, width=8)
+    assert abs(par["loss_n"] - par["loss_1"]) <= 1e-4 * abs(par["loss_1"])
+    assert abs(par["norm_n"] - par["norm_1"]) <= 1e-3 * par["norm_1"]
+    assert par["cosine"] > 0.9999
 
 
 @pytest.mark.slow

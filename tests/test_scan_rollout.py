@@ -58,6 +58,31 @@ def test_batched_b1_matches_single_scene():
 
 
 @pytest.mark.slow
+def test_segmented_run_matches_monolithic():
+    """Chunked execution (segment_len) must be bit-identical to the single
+    scan program: the step consumes only the absolute pose index and the
+    state stays on device between segments. (The workaround for the
+    tunneled worker dying on minutes-long single executions — round-4
+    crash bisect.)"""
+    params = default_params(
+        image_height=32, image_width=56, points_per_frame=256,
+        full_pc_capacity=32768, n_gt_surface_points=1024, max_path_len=32,
+        pc2img_size=[64, 64], value_map_size=[16, 16],
+    )
+    assets = pack_generated_scene(generate_scene("simple", seed=5),
+                                  params=params)
+    model = NBP()
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 5)))
+    rollout = ScanRollout(assets, model, variables, params=params)
+    r_mono = rollout.run(n_poses=5, seed=8)
+    r_seg = rollout.run(n_poses=5, seed=8, segment_len=2)  # 2 + 2 + 1
+    np.testing.assert_array_equal(r_mono.coverage_evolution,
+                                  r_seg.coverage_evolution)
+    assert r_mono.n_points == r_seg.n_points
+
+
+@pytest.mark.slow
 def test_batched_scan_rollout_two_scenes():
     from nextbestpath_tpu.eval.scan_rollout import BatchedScanRollout
 

@@ -42,9 +42,16 @@ def main():
                     help="batched = one vmapped program over all scenes "
                          "(default, one compile); sequential = one "
                          "single-scene program reused across scenes "
-                         "(multi_scene_bench's reuse mode — use for long "
-                         "horizons where the 8-wide vmapped program has "
-                         "crashed the TPU worker)")
+                         "(multi_scene_bench's reuse mode)")
+    ap.add_argument("--segment", type=int, default=26,
+                    help="segment_len for chunked execution: keeps every "
+                         "device execution short — minutes-long single "
+                         "executions crash the tunneled worker (round-4 "
+                         "bisect). 0 disables.")
+    ap.add_argument("--scene-offset", type=int, default=0,
+                    help="per-difficulty held-out scene offset; use >= 1 "
+                         "when the candidate was SELECTED on the j=0 eval "
+                         "scenes so the gate scores unseen scenes")
     args = ap.parse_args()
 
     import jax
@@ -61,7 +68,9 @@ def main():
     params = default_params()
     # Shared held-out recipe (eval/heldout.py) — the same scenes as the
     # random-walk baseline table in eval_vs_random_r2.py, by construction.
-    assets = held_out_assets(params, scenes_per_diff=args.scenes_per_diff)
+    assets = held_out_assets(params, scenes_per_diff=args.scenes_per_diff,
+                             scene_offset=args.scene_offset)
+    seg = args.segment or None
 
     model = NBP(dtype=jnp.bfloat16)
     init = jax.jit(lambda k, x: model.init(k, x, train=False))(
@@ -79,7 +88,8 @@ def main():
             for key, var in (("a", var_a), ("b", var_b)):
                 for a, r in zip(assets, rollout.run(n_poses=args.poses,
                                                     seed=1000 + 97 * s,
-                                                    variables=var)):
+                                                    variables=var,
+                                                    segment_len=seg)):
                     aucs[key][a.name].append(r.auc)
                 print(f"# seed block {s}, ckpt {key} done", file=sys.stderr,
                       flush=True)
@@ -93,7 +103,7 @@ def main():
             for key, var in (("a", var_a), ("b", var_b)):
                 for a, r in zip(assets, rollouts):
                     res = r.run(n_poses=args.poses, seed=1000 + 97 * s,
-                                variables=var)
+                                variables=var, segment_len=seg)
                     aucs[key][a.name].append(res.auc)
                 print(f"# seed block {s}, ckpt {key} done", file=sys.stderr,
                       flush=True)

@@ -46,6 +46,9 @@ def main():
     ap.add_argument("--seed", type=int, default=8)
     ap.add_argument("--tiny", action="store_true",
                     help="32x56 frames (CPU smoke)")
+    ap.add_argument("--depth-ckpt", default=None,
+                    help="warm-start depth variables (pretrain_depth.py "
+                         "output) — the ImageNet-warm-start substitute")
     ap.add_argument("--out", default="data/depth_quality.json")
     args = ap.parse_args()
 
@@ -74,6 +77,13 @@ def main():
     # the inference-vs-zbuf error every pose (train_macarons.py:1089-1388).
     state = MacaronsTrainState.create(jax.random.PRNGKey(args.seed),
                                       params=params)
+    if args.depth_ckpt:
+        from nextbestpath_tpu.utils.checkpoint import load_checkpoint
+
+        state.model.depth_vars, _, at_step, extra = load_checkpoint(
+            args.depth_ckpt, state.model.depth_vars)
+        print(f"# warm-started depth from {args.depth_ckpt} "
+              f"(step {at_step}, {extra})", file=sys.stderr, flush=True)
     logs = train_macarons_online(
         assets, state, params=params, n_poses=args.poses, seed=args.seed,
         use_perfect_depth=True, learn_depth=True, log_depth_error=True,
