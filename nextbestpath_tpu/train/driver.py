@@ -14,6 +14,7 @@ import time
 from typing import List, Optional, Sequence
 
 import jax
+import numpy as np
 
 from ..assets.scene_assets import SceneAssets
 from ..config import Params, default_params
@@ -220,6 +221,7 @@ def run_training_nbp_scan(
                   f"lr {state.lr:.2e}, best_val {best_val:.4f}")
 
     t_start = time.time()
+    db_stat_mark = len(db.entries)
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
         if verbose:
@@ -235,6 +237,26 @@ def run_training_nbp_scan(
                       f"{len(cov)} poses, final coverage "
                       f"{cov[-1] if cov else 0:.4f}, db size {len(db)}",
                       flush=True)
+
+        # Value-target statistics per collection epoch (plateau diagnosis,
+        # VERDICT r3 weak #2): scale drift or a collapsing gain distribution
+        # across epochs would decouple the supervised MSE from rollout AUC.
+        new_gains = np.concatenate(
+            [e.gains for e in db.entries[db_stat_mark:]]) if (
+                len(db.entries) > db_stat_mark) else np.zeros((0,))
+        db_stat_mark = len(db.entries)
+        if new_gains.size:
+            gstats = {
+                "epoch": epoch, "n_labels": int(new_gains.size),
+                "mean": round(float(new_gains.mean()), 4),
+                "p50": round(float(np.percentile(new_gains, 50)), 4),
+                "p90": round(float(np.percentile(new_gains, 90)), 4),
+                "max": round(float(new_gains.max()), 4),
+                "frac_zero": round(float((new_gains == 0).mean()), 4),
+            }
+            log.setdefault("gain_stats", []).append(gstats)
+            if verbose:
+                print(f"  gain stats: {gstats}", flush=True)
 
         if epoch == 0:
             validation_data = db.extract_validation(num=1200)

@@ -83,6 +83,68 @@ def test_segmented_run_matches_monolithic():
 
 
 @pytest.mark.slow
+def test_batched_b2_matches_single_scenes():
+    """B>1 batched semantics (any-regen gate + scalar-gated retries with
+    per-scene selects, d2dcfd3) must match per-scene single rollouts in f32.
+    On TPU the bf16 batch-4 U-Net tiles differently from batch-1 and goal
+    argmaxes can occasionally flip (BASELINE.md round-4 note); in f32 on CPU
+    the curves must be equal."""
+    from nextbestpath_tpu.assets.scene_assets import pad_assets_to_common
+    from nextbestpath_tpu.eval.scan_rollout import BatchedScanRollout
+
+    params = default_params(
+        image_height=32, image_width=56, points_per_frame=256,
+        full_pc_capacity=32768, n_gt_surface_points=1024, max_path_len=32,
+        pc2img_size=[64, 64], value_map_size=[16, 16],
+    )
+    assets = pad_assets_to_common([
+        pack_generated_scene(generate_scene("simple", seed=s), params=params)
+        for s in (5, 6)
+    ])
+    model = NBP()
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 5)))
+    batched = BatchedScanRollout(assets, model, variables, params=params)
+    rb = batched.run(n_poses=6, seed=8)  # scene i gets seed 8 + i
+    for i, a in enumerate(assets):
+        solo = ScanRollout(a, model, variables, params=params).run(
+            n_poses=6, seed=8 + i)
+        np.testing.assert_allclose(solo.coverage_evolution,
+                                   rb[i].coverage_evolution, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_interleaved_matches_sequential():
+    """run_interleaved (pipelined multi-scene segment dispatch) must be
+    bit-identical per scene to back-to-back segmented single-scene runs —
+    the interleaving only reorders independent device programs."""
+    from nextbestpath_tpu.assets.scene_assets import pad_assets_to_common
+    from nextbestpath_tpu.eval.scan_rollout import run_interleaved
+
+    params = default_params(
+        image_height=32, image_width=56, points_per_frame=256,
+        full_pc_capacity=32768, n_gt_surface_points=1024, max_path_len=32,
+        pc2img_size=[64, 64], value_map_size=[16, 16],
+    )
+    assets = pad_assets_to_common([
+        pack_generated_scene(generate_scene("simple", seed=s), params=params)
+        for s in (5, 6)
+    ])
+    model = NBP()
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 5)))
+    rollouts = [ScanRollout(a, model, variables, params=params)
+                for a in assets]
+    inter = run_interleaved(rollouts, n_poses=5, segment_len=2,
+                            seeds=[8, 9])
+    for r, seed, ri in zip(rollouts, (8, 9), inter):
+        solo = r.run(n_poses=5, seed=seed, segment_len=2)
+        np.testing.assert_array_equal(solo.coverage_evolution,
+                                      ri.coverage_evolution)
+        assert solo.n_points == ri.n_points
+
+
+@pytest.mark.slow
 def test_batched_scan_rollout_two_scenes():
     from nextbestpath_tpu.eval.scan_rollout import BatchedScanRollout
 

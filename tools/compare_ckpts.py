@@ -29,7 +29,17 @@ DIFFS = ("simple", "normal", "hard", "insane")
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt-a", default="weights/nbp/nbp_best_val.ckpt")
-    ap.add_argument("--ckpt-b", required=True)
+    ap.add_argument("--ckpt-b", default=None)
+    ap.add_argument("--ckpt-b-per-level", default=None,
+                    help="candidate B as a PER-DIFFICULTY checkpoint set: a "
+                         "format string with {level}, e.g. "
+                         "'weights/nbp/nbp_{level}_best_auc.ckpt' — the "
+                         "reference's own deployment shape (one weight file "
+                         "per AiMDoom difficulty, README.md:73-80). Each "
+                         "difficulty's scenes are scored with that level's "
+                         "checkpoint; levels whose file is missing fall "
+                         "back to --ckpt-a. Forces sequential mode (one "
+                         "program, weights as runtime args).")
     ap.add_argument("--poses", type=int, default=40)
     ap.add_argument("--scenes-per-diff", type=int, default=2)
     ap.add_argument("--seeds", type=int, default=2)
@@ -76,16 +86,45 @@ def main():
     init = jax.jit(lambda k, x: model.init(k, x, train=False))(
         jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 5)))
     var_a, _, ep_a, _ = load_checkpoint(args.ckpt_a, init)
-    var_b, _, ep_b, _ = load_checkpoint(args.ckpt_b, init)
-    print(f"# A = {args.ckpt_a} (epoch {ep_a}), "
-          f"B = {args.ckpt_b} (epoch {ep_b})", file=sys.stderr, flush=True)
+    if args.ckpt_b_per_level:
+        if args.mode != "sequential":
+            print("# per-level candidate forces sequential mode",
+                  file=sys.stderr, flush=True)
+            args.mode = "sequential"
+        var_b_by_diff, ckpt_b_names = {}, {}
+        for diff in DIFFS:
+            path = args.ckpt_b_per_level.format(level=diff)
+            if os.path.exists(path):
+                var_b_by_diff[diff], _, ep, _ = load_checkpoint(path, init)
+                ckpt_b_names[diff] = f"{path} (epoch {ep})"
+            else:
+                var_b_by_diff[diff] = var_a
+                ckpt_b_names[diff] = f"MISSING {path} -> ckpt_a"
+        ep_b = -1
+        ckpt_b_label = {d: ckpt_b_names[d] for d in DIFFS}
+        print(f"# A = {args.ckpt_a} (epoch {ep_a}), B per-level = "
+              f"{ckpt_b_label}", file=sys.stderr, flush=True)
+    else:
+        if not args.ckpt_b:
+            raise SystemExit("provide --ckpt-b or --ckpt-b-per-level")
+        var_b, _, ep_b, _ = load_checkpoint(args.ckpt_b, init)
+        var_b_by_diff = {d: var_b for d in DIFFS}
+        ckpt_b_label = args.ckpt_b
+        print(f"# A = {args.ckpt_a} (epoch {ep_a}), "
+              f"B = {args.ckpt_b} (epoch {ep_b})", file=sys.stderr, flush=True)
+
+    def _diff_of(name: str) -> str:
+        for d in DIFFS:
+            if f"_{d}_" in name:
+                return d
+        raise ValueError(name)
 
     aucs = {"a": {a.name: [] for a in assets},
             "b": {a.name: [] for a in assets}}
     if args.mode == "batched":
         rollout = BatchedScanRollout(assets, model, var_a, params=params)
         for s in range(args.seeds):
-            for key, var in (("a", var_a), ("b", var_b)):
+            for key, var in (("a", var_a), ("b", var_b_by_diff[DIFFS[0]])):
                 for a, r in zip(assets, rollout.run(n_poses=args.poses,
                                                     seed=1000 + 97 * s,
                                                     variables=var,
@@ -100,8 +139,10 @@ def main():
         rollouts = [ScanRollout(a, model, var_a, params=params)
                     for a in assets]
         for s in range(args.seeds):
-            for key, var in (("a", var_a), ("b", var_b)):
+            for key in ("a", "b"):
                 for a, r in zip(assets, rollouts):
+                    var = (var_a if key == "a"
+                           else var_b_by_diff[_diff_of(a.name)])
                     res = r.run(n_poses=args.poses, seed=1000 + 97 * s,
                                 variables=var, segment_len=seg)
                     aucs[key][a.name].append(res.auc)
@@ -127,7 +168,7 @@ def main():
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump({"poses": args.poses, "ckpt_a": args.ckpt_a,
-                   "ckpt_b": args.ckpt_b, "epoch_a": int(ep_a),
+                   "ckpt_b": ckpt_b_label, "epoch_a": int(ep_a),
                    "epoch_b": int(ep_b), "per_difficulty": table,
                    "mean_auc_a": round(mean_a, 4),
                    "mean_auc_b": round(mean_b, 4),

@@ -101,7 +101,13 @@ def main():
         jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 5)))
     table = {}
     for diff in ordered:
-        w = f"weights/nbp/nbp_{diff}_best_val.ckpt"
+        # Prefer the rollout-AUC-selected checkpoint (driver round 4: val
+        # loss is uncorrelated with rollout AUC, Spearman 0.018). NOTE this
+        # in-process table scores the SAME scenes selection saw; the
+        # unbiased verdict is compare_ckpts.py --scene-offset 1.
+        w = f"weights/nbp/nbp_{diff}_best_auc.ckpt"
+        if not os.path.exists(w):
+            w = f"weights/nbp/nbp_{diff}_best_val.ckpt"
         variables, _, ep, _ = load_checkpoint(w, template)
         nbp_r = BatchedScanRollout(eval_sets[diff], model, variables,
                                    params=params)

@@ -105,6 +105,31 @@ def main():
         print(f"# sequential: {results['sequential']}", file=sys.stderr,
               flush=True)
 
+    if "pipelined" in modes:
+        # Interleaved async segment dispatch (scan_rollout.run_interleaved):
+        # same per-scene programs/semantics as sequential, but the host
+        # round-robins segments and syncs once, so per-run host/tunnel
+        # latency vanishes.
+        from nextbestpath_tpu.eval.scan_rollout import run_interleaved
+
+        rollouts = [ScanRollout(a, model, variables, params=params)
+                    for a in assets]
+        seg = max(1, min(25, args.poses))
+        rollouts[0].run(n_poses=args.poses, seed=args.seed,
+                        segment_len=seg)  # compile segment program
+        run_interleaved(rollouts, n_poses=args.poses, seed=args.seed,
+                        segment_len=seg)  # warmup the interleave itself
+        res = run_interleaved(
+            rollouts, n_poses=args.poses, segment_len=seg,
+            seeds=[args.seed + 100 + i for i in range(args.scenes)])
+        results["pipelined"] = dict(
+            total_poses_per_sec=round(res[0].steps_per_sec, 2),
+            wall_s=round(res[0].wall_time_s, 2),
+            final_coverage=[round(r.coverage_evolution[-1], 4)
+                            for r in res])
+        print(f"# pipelined: {results['pipelined']}", file=sys.stderr,
+              flush=True)
+
     if "vmap" in modes:
         batched = BatchedScanRollout(assets, model, variables, params=params)
         batched.run(n_poses=args.poses, seed=args.seed)  # compile
