@@ -70,26 +70,64 @@ class ObjectAssets:
     x_max: np.ndarray
 
 
+FAMILIES = ("blob", "superquadric", "sq_bumps", "gouged")
+
+
+def _bump_field(verts: np.ndarray, rng: np.random.Generator, n_bumps: int,
+                amp_lo: float, amp_hi: float) -> np.ndarray:
+    """Smooth radial displacement field: random Gaussian bumps on S^2."""
+    centers = rng.normal(size=(n_bumps, 3))
+    centers /= np.linalg.norm(centers, axis=-1, keepdims=True)
+    amps = rng.uniform(amp_lo, amp_hi, size=n_bumps)
+    sharp = rng.uniform(0.08, 0.35, size=n_bumps)
+    dots = verts @ centers.T  # (V, K)
+    return (amps[None, :] * np.exp(-(1.0 - dots) / sharp[None, :])).sum(-1)
+
+
+def _superquadric_radius(verts: np.ndarray,
+                         rng: np.random.Generator) -> np.ndarray:
+    """Exact radial distance of the superellipsoid |x/a|^p+|y/b|^p+|z/c|^p=1
+    along each unit direction: r(v) = (sum |v_i/s_i|^p)^(-1/p). Low p gives
+    pointy octahedral shapes, high p boxes/cylinders — the sharp-edged,
+    man-made-object statistics the smooth blobs lack."""
+    p = float(np.exp(rng.uniform(np.log(0.9), np.log(8.0))))
+    axes = rng.uniform(0.5, 1.4, size=3)
+    s = (np.abs(verts / axes[None, :]) ** p).sum(-1)
+    return s ** (-1.0 / p)
+
+
 def generate_object(seed: int = 0, subdiv: int = 3, n_bumps: int = 6,
                     base_radius: float = 1.0,
-                    n_gt_surface_points: int = 2048) -> ObjectAssets:
-    """Random closed blob object (see module docstring).
+                    n_gt_surface_points: int = 2048,
+                    family: str = "blob") -> ObjectAssets:
+    """Random closed star-shaped object (see module docstring).
 
-    Radius field r(v) = base * clip(1 + sum_k a_k * exp(-(1 - v.c_k)/s_k),
-    0.35, None) over unit directions v, then anisotropic axis scaling —
-    smooth, strictly positive, hence an embedded closed surface whose
-    inside/outside parity is exact.
+    Every family defines a strictly positive radius field r(v) over unit
+    directions v, then anisotropic axis scaling — smooth-or-piecewise-smooth,
+    strictly positive, hence an embedded closed surface whose inside/outside
+    parity is exact. Families (the ShapeNet-category-diversity stand-in,
+    reference pretrains over many categories, pretrain_scone_occ.py:248):
+
+    * ``blob`` — Gaussian bumps, r = clip(1 + bumps(-0.35, 0.6), 0.35).
+    * ``superquadric`` — superellipsoid radius (boxes/cylinders/octahedra).
+    * ``sq_bumps`` — superquadric modulated by mild bumps (dented boxes).
+    * ``gouged`` — bumps biased negative (deep concavities, amp -0.7..0.3).
     """
     rng = np.random.default_rng(seed)
     verts, faces = _octasphere(subdiv)
 
-    centers = rng.normal(size=(n_bumps, 3))
-    centers /= np.linalg.norm(centers, axis=-1, keepdims=True)
-    amps = rng.uniform(-0.35, 0.6, size=n_bumps)
-    sharp = rng.uniform(0.08, 0.35, size=n_bumps)
-    dots = verts @ centers.T  # (V, K)
-    r = 1.0 + (amps[None, :] * np.exp(-(1.0 - dots) / sharp[None, :])).sum(-1)
-    r = np.clip(r, 0.35, None) * base_radius
+    if family == "blob":
+        r = 1.0 + _bump_field(verts, rng, n_bumps, -0.35, 0.6)
+    elif family == "superquadric":
+        r = _superquadric_radius(verts, rng)
+    elif family == "sq_bumps":
+        r = _superquadric_radius(verts, rng) * (
+            1.0 + _bump_field(verts, rng, n_bumps, -0.2, 0.25))
+    elif family == "gouged":
+        r = 1.0 + _bump_field(verts, rng, n_bumps, -0.7, 0.3)
+    else:
+        raise ValueError(f"unknown object family {family!r}")
+    r = np.clip(r, 0.25, None) * base_radius
     scale = rng.uniform(0.6, 1.4, size=3)
     v_out = (verts * r[:, None]) * scale[None, :]
 

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..assets.objects import (cameras_on_sphere, generate_object,
+from ..assets.objects import (FAMILIES, cameras_on_sphere, generate_object,
                               pose5_toward)
 from ..geometry.cameras import CameraIntrinsics
 from ..models.harmonics import base_view_harmonics
@@ -84,7 +84,11 @@ def make_pretrain_sample(seed: int, n_partial: int = 1024, n_query: int = 512,
     fuse their partial clouds, supervise occupancy / per-candidate
     coverage)."""
     rng = np.random.default_rng(seed)
-    assets = generate_object(seed)
+    # Rotate through the shape families (assets/objects.FAMILIES) so a
+    # pretraining set spans blobs, superquadrics and gouged concave shapes —
+    # the category-diversity analog of the reference's multi-category
+    # ShapeNet split (pretrain_scone_occ.py:248).
+    assets = generate_object(seed, family=FAMILIES[seed % len(FAMILIES)])
     soa = tris_to_soa(jnp.asarray(assets.tris))
     n_tris = assets.n_tris
     intr = intr or CameraIntrinsics(image_height=64, image_width=114)

@@ -63,21 +63,25 @@ def test_object_nbv_rollout_smoke(scone_models):
 
 
 def test_generate_object_watertight_parity():
-    """The blob object is an embedded closed surface: parity inside tests
-    classify the center as inside and far points as outside, and GT
+    """Every object family is an embedded closed star-shaped surface:
+    parity inside tests classify the origin (radius field is strictly
+    positive around it) as inside and far points as outside, and GT
     surface samples lie within the bbox."""
     import numpy as np
 
-    from nextbestpath_tpu.assets.objects import generate_object
+    from nextbestpath_tpu.assets.objects import FAMILIES, generate_object
     from nextbestpath_tpu.ops.raytrace import points_inside_mesh, tris_to_soa
 
-    for seed in (0, 3):
-        obj = generate_object(seed=seed, n_gt_surface_points=256)
+    cases = [(0, "blob"), (3, "blob")] + [(7 + i, f)
+                                          for i, f in enumerate(FAMILIES)]
+    for seed, family in cases:
+        obj = generate_object(seed=seed, n_gt_surface_points=256,
+                              family=family)
         soa = tris_to_soa(jnp.asarray(obj.tris))
-        center = (obj.x_min + obj.x_max) / 2.0
+        origin = np.zeros(3, np.float32)  # star-shaped: always interior
         far = obj.x_max + 10.0
         res = np.asarray(points_inside_mesh(
-            jnp.asarray(np.stack([center, far])), soa, obj.n_tris))
+            jnp.asarray(np.stack([origin, far])), soa, obj.n_tris))
         assert res.tolist() == [True, False]
         assert (obj.gt_surface >= obj.x_min - 1e-4).all()
         assert (obj.gt_surface <= obj.x_max + 1e-4).all()

@@ -1,0 +1,30 @@
+"""SCONE pretraining sample builder across all object families.
+
+The reference pretrains SconeOcc/SconeVis over many ShapeNet categories
+(macarons/trainers/pretrain_scone_occ.py:248); the offline stand-in rotates
+through procedural shape families (assets/objects.FAMILIES). Each family
+must produce a valid supervised sample: normalized clouds, parity-exact
+occupancy labels with both classes present, and per-candidate coverage
+fractions in [0, 1].
+"""
+import numpy as np
+
+from nextbestpath_tpu.assets.objects import FAMILIES
+from nextbestpath_tpu.train.pretrain_scone import make_pretrain_sample
+
+
+def test_sample_valid_for_every_family():
+    for seed in range(len(FAMILIES)):  # seed % 4 rotates the family
+        s = make_pretrain_sample(seed, n_partial=256, n_query=128,
+                                 n_candidates=4, n_views=2)
+        assert s.partial_pc.shape == (256, 3)
+        assert np.isfinite(s.partial_pc).all()
+        # Normalized by bbox diagonal: everything within ~1 of the center.
+        assert np.abs(s.partial_pc).max() < 1.5
+        occ = s.query_occ.ravel()
+        assert set(np.unique(occ)) <= {0.0, 1.0}
+        assert 0.0 < occ.mean() < 1.0, "both occupancy classes expected"
+        assert s.gt_coverage.shape == (4,)
+        assert (s.gt_coverage >= 0.0).all() and (s.gt_coverage <= 1.0).all()
+        assert s.gt_coverage.max() > 0.0, "some surface must be visible"
+        assert np.isfinite(s.view_harmonics).all()
