@@ -155,13 +155,29 @@ def make_pretrain_sample(seed: int, n_partial: int = 1024, n_query: int = 512,
     )
 
 
+def _stack_samples(samples: List[PretrainSample]):
+    """Stage the whole pretraining set on device ONCE (leading sample axis).
+
+    The per-step batch is then gathered inside the jitted step — no
+    per-step host->device re-upload (the axon tunnel charges ~33 ms per
+    dispatch; shipping the arrays every step doubles it)."""
+    return tuple(
+        jnp.asarray(np.stack([getattr(s, f) for s in samples]))
+        for f in ("partial_pc", "query_x", "view_harmonics", "query_occ",
+                  "candidate_cams", "gt_coverage"))
+
+
 def pretrain_scone_occ(n_steps: int = 100, lr: float = 1e-4, seed: int = 0,
                        samples: Optional[List[PretrainSample]] = None,
-                       verbose: bool = True):
+                       batch: int = 4, verbose: bool = True):
     """Supervised occupancy pretraining loop (pretrain_scone_occ.py:133-247).
 
-    Returns (model, variables, losses)."""
+    Batched like the reference's dataloader (pretrain_scone_occ.py:170
+    iterates batches, not single meshes): each step draws ``batch`` samples
+    uniformly from the device-staged set. Returns (model, variables,
+    losses)."""
     samples = samples or [make_pretrain_sample(seed + i) for i in range(4)]
+    batch = max(1, min(batch, len(samples)))
     model = SconeOcc(seq_len=min(2048, samples[0].partial_pc.shape[0]))
     key = jax.random.PRNGKey(seed)
     s0 = samples[0]
@@ -170,12 +186,17 @@ def pretrain_scone_occ(n_steps: int = 100, lr: float = 1e-4, seed: int = 0,
                            jnp.asarray(s0.view_harmonics)[None], key=key)
     tx = optax.adam(lr)
     opt_state = tx.init(variables)
+    pc_a, x_a, vh_a, occ_a, _, _ = _stack_samples(samples)
 
     @jax.jit
-    def step(variables, opt_state, pc, x, vh, occ, key):
+    def step(variables, opt_state, pc_a, x_a, vh_a, occ_a, key):
+        k_idx, k_drop = jax.random.split(key)
+        idx = jax.random.randint(k_idx, (batch,), 0, pc_a.shape[0])
+
         def loss_fn(v):
-            pred = model.apply(v, pc, x, vh, key=key)
-            return jnp.mean((pred - occ) ** 2)
+            pred = model.apply(v, pc_a[idx], x_a[idx], vh_a[idx],
+                               key=k_drop)
+            return jnp.mean((pred - occ_a[idx]) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(variables)
         updates, opt_state = tx.update(grads, opt_state)
@@ -183,25 +204,24 @@ def pretrain_scone_occ(n_steps: int = 100, lr: float = 1e-4, seed: int = 0,
 
     losses = []
     for i in range(n_steps):
-        s = samples[i % len(samples)]
         key, sub = jax.random.split(key)
-        variables, opt_state, loss = step(
-            variables, opt_state, jnp.asarray(s.partial_pc)[None],
-            jnp.asarray(s.query_x)[None], jnp.asarray(s.view_harmonics)[None],
-            jnp.asarray(s.query_occ)[None], sub,
-        )
+        variables, opt_state, loss = step(variables, opt_state, pc_a, x_a,
+                                          vh_a, occ_a, sub)
         losses.append(float(loss))
         if verbose and i % 10 == 0:
-            print(f"occ step {i}: mse {losses[-1]:.4f}")
+            print(f"occ step {i}: mse {losses[-1]:.4f}", flush=True)
     return model, variables, losses
 
 
 def pretrain_scone_vis(n_steps: int = 100, lr: float = 1e-4, seed: int = 0,
                        cov_loss: str = "uncentered_l1",
                        samples: Optional[List[PretrainSample]] = None,
-                       verbose: bool = True):
-    """Visibility-gain pretraining loop (pretrain_scone_vis.py:196-347)."""
+                       batch: int = 4, verbose: bool = True):
+    """Visibility-gain pretraining loop (pretrain_scone_vis.py:196-347).
+
+    Batched + device-staged like pretrain_scone_occ."""
     samples = samples or [make_pretrain_sample(seed + i) for i in range(4)]
+    batch = max(1, min(batch, len(samples)))
     model = SconeVis()
     loss_fn_cov = COV_LOSSES[cov_loss]
     key = jax.random.PRNGKey(seed)
@@ -213,13 +233,17 @@ def pretrain_scone_vis(n_steps: int = 100, lr: float = 1e-4, seed: int = 0,
                            view_harmonics=jnp.asarray(s0.view_harmonics)[None])
     tx = optax.adam(lr)
     opt_state = tx.init(variables)
+    _, x_a, vh_a, occ_a, cams_a, cov_a = _stack_samples(samples)
 
     @jax.jit
-    def step(variables, opt_state, pts, vh, cams, gt_cov):
+    def step(variables, opt_state, x_a, vh_a, occ_a, cams_a, cov_a, key):
+        idx = jax.random.randint(key, (batch,), 0, x_a.shape[0])
+        pts = jnp.concatenate([x_a[idx], occ_a[idx]], axis=-1)
+
         def loss_fn(v):
-            h = model.apply(v, pts, view_harmonics=vh)
-            pred = coverage_gain(pts[..., :3], h, cams)
-            return loss_fn_cov(pred[..., None], gt_cov[..., None])
+            h = model.apply(v, pts, view_harmonics=vh_a[idx])
+            pred = coverage_gain(pts[..., :3], h, cams_a[idx])
+            return loss_fn_cov(pred[..., None], cov_a[idx][..., None])
 
         loss, grads = jax.value_and_grad(loss_fn)(variables)
         updates, opt_state = tx.update(grads, opt_state)
@@ -227,16 +251,10 @@ def pretrain_scone_vis(n_steps: int = 100, lr: float = 1e-4, seed: int = 0,
 
     losses = []
     for i in range(n_steps):
-        s = samples[i % len(samples)]
-        pts = jnp.concatenate(
-            [jnp.asarray(s.query_x), jnp.asarray(s.query_occ)], axis=-1
-        )[None]
-        variables, opt_state, loss = step(
-            variables, opt_state, pts, jnp.asarray(s.view_harmonics)[None],
-            jnp.asarray(s.candidate_cams)[None],
-            jnp.asarray(s.gt_coverage)[None],
-        )
+        key, sub = jax.random.split(key)
+        variables, opt_state, loss = step(variables, opt_state, x_a, vh_a,
+                                          occ_a, cams_a, cov_a, sub)
         losses.append(float(loss))
         if verbose and i % 10 == 0:
-            print(f"vis step {i}: {cov_loss} {losses[-1]:.4f}")
+            print(f"vis step {i}: {cov_loss} {losses[-1]:.4f}", flush=True)
     return model, variables, losses

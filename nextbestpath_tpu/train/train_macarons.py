@@ -269,7 +269,10 @@ def train_macarons_online(
     occ_model = state.model.scone_occ
     vis_model = state.model.scone_vis
 
-    need_rgb = learn_depth or not use_perfect_depth
+    # log_depth_error needs RGB frames + depth inference even when the
+    # model is frozen (learn_depth=False): a frozen-eval probe still
+    # measures |predicted - zbuf| every pose.
+    need_rgb = learn_depth or not use_perfect_depth or log_depth_error
     depth_step = depth_infer = None
     if need_rgb:
         depth_step, depth_infer = make_depth_steps(

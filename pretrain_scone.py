@@ -17,6 +17,7 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--n-objects", type=int, default=4)
+    ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--cov-loss", default="uncentered_l1",
                     choices=["kl_divergence", "l1", "uncentered_l1"])
     ap.add_argument("--out", default="weights/scone")
@@ -34,12 +35,13 @@ def main():
                for i in range(args.n_objects)]
     if args.which == "occ":
         model, variables, losses = pretrain_scone_occ(
-            n_steps=args.steps, lr=args.lr, seed=args.seed, samples=samples)
+            n_steps=args.steps, lr=args.lr, seed=args.seed, samples=samples,
+            batch=args.batch)
         save_checkpoint(os.path.join(args.out, "scone_occ.ckpt"), variables)
     else:
         model, variables, losses = pretrain_scone_vis(
             n_steps=args.steps, lr=args.lr, seed=args.seed,
-            cov_loss=args.cov_loss, samples=samples)
+            cov_loss=args.cov_loss, samples=samples, batch=args.batch)
         save_checkpoint(os.path.join(args.out, "scone_vis.ckpt"), variables)
     print(f"final loss: {losses[-1]:.4f} (first {losses[0]:.4f})")
 

@@ -49,6 +49,11 @@ def main():
     ap.add_argument("--depth-ckpt", default=None,
                     help="warm-start depth variables (pretrain_depth.py "
                          "output) — the ImageNet-warm-start substitute")
+    ap.add_argument("--freeze-depth", action="store_true",
+                    help="skip the online photometric fine-tuning in both "
+                         "phases: measures the --depth-ckpt weights as-is "
+                         "(isolates pretrained quality from online drift; "
+                         "the reference always keeps learning online)")
     ap.add_argument("--out", default="data/depth_quality.json")
     args = ap.parse_args()
 
@@ -84,9 +89,10 @@ def main():
             args.depth_ckpt, state.model.depth_vars)
         print(f"# warm-started depth from {args.depth_ckpt} "
               f"(step {at_step}, {extra})", file=sys.stderr, flush=True)
+    learn = not args.freeze_depth
     logs = train_macarons_online(
         assets, state, params=params, n_poses=args.poses, seed=args.seed,
-        use_perfect_depth=True, learn_depth=True, log_depth_error=True,
+        use_perfect_depth=True, learn_depth=learn, log_depth_error=True,
         verbose=True)
     dl = logs["depth_loss"]
     de = logs["depth_abs_err"]
@@ -110,7 +116,7 @@ def main():
     # perfect-depth curve isolates what predicted depth costs the mapper.
     logs_pred = train_macarons_online(
         assets, state, params=params, n_poses=args.poses, seed=args.seed,
-        use_perfect_depth=False, learn_depth=True, log_depth_error=True,
+        use_perfect_depth=False, learn_depth=learn, log_depth_error=True,
         verbose=True)
     summary["coverage_predicted_depth"] = round(logs_pred["coverage"][-1], 4)
     summary["store_coverage_predicted_depth"] = round(

@@ -25,7 +25,12 @@ def main():
     ap.add_argument("--poses", type=int, default=101)
     ap.add_argument("--scenes-per-diff", type=int, default=4)
     ap.add_argument("--seeds", type=int, default=3)
-    ap.add_argument("--weights", default="weights/nbp/nbp_best_val.ckpt")
+    ap.add_argument("--weights", default="weights/nbp/nbp_best_val.ckpt",
+                    help="single checkpoint, or a per-difficulty pattern "
+                         "with {level} (e.g. "
+                         "'weights/nbp/nbp_{level}_best_auc.ckpt' — the "
+                         "reference's per-level weight files); levels whose "
+                         "file is missing fall back to the default ckpt")
     ap.add_argument("--out", default="data/eval_vs_random_r3_101.json")
     ap.add_argument("--difficulties", default=",".join(DIFFS))
     args = ap.parse_args()
@@ -36,12 +41,17 @@ def main():
               "seeds": args.seeds, "per_scene": {}, "per_difficulty": {}}
     for diff in diffs:
         part = os.path.join(repo, "data", f"eval101_{diff}.json")
+        w = args.weights.format(level=diff)
+        if not os.path.exists(os.path.join(repo, w)) and not os.path.exists(w):
+            fallback = "weights/nbp/nbp_best_val.ckpt"
+            print(f"# {w} missing -> {fallback}", file=sys.stderr, flush=True)
+            w = fallback
         cmd = [sys.executable, os.path.join(repo, "tools",
                                             "eval_vs_random_r2.py"),
                "--poses", str(args.poses),
                "--scenes-per-diff", str(args.scenes_per_diff),
                "--seeds", str(args.seeds),
-               "--weights", args.weights,
+               "--weights", w,
                "--difficulties", diff,
                "--out", part]
         print(f"# running {diff} ...", file=sys.stderr, flush=True)
