@@ -30,14 +30,14 @@ from ..config import Params, default_params
 from ..geometry.cameras import CameraIntrinsics, get_camera_RT
 from ..models.harmonics import base_view_harmonics
 from ..models.scone import SconeOcc, SconeVis
-from ..ops.coverage import compute_auc, coverage_percentage
-from ..ops.raytrace import tris_to_soa
+from ..ops.coverage import compute_auc, coverage_percentage, masked_min_dists, min_dists
+from ..ops.raytrace import render_depth_batch, tris_to_soa
 from ..ops.view_state import compute_view_harmonics
 from ..planning.grid_paths import DIRS
 from ..sim.coverage_gain import predict_coverage_gain
 from ..sim.proxy import ProxyField, carve_with_frame
 from ..sim.rollout import TrajectoryBuffer, move_and_capture
-from ..sim.sensor import PointBuffer
+from ..sim.sensor import PointBuffer, backproject_sample
 from ..sim.tables import build_scene_tables
 from .nbp_planning import RolloutResult
 
@@ -47,6 +47,37 @@ def _occ_forward(scone_occ, variables, pc_tokens, proxy_pts, vh, key):
     """Jitted SconeOcc forward (eager flax apply dispatches op-by-op —
     catastrophic over the remote-TPU tunnel at 100 calls per rollout)."""
     return scone_occ.apply(variables, pc_tokens, proxy_pts, vh, key=key)
+
+
+@functools.partial(jax.jit, static_argnames=("intr", "n_slots"))
+def _oracle_gains(tri_soa, n_tris, cand_pose5, gt, covered_now, key,
+                  intr: CameraIntrinsics, n_slots: int,
+                  gathering_factor, sensor_range, threshold=1.0):
+    """Ground-truth greedy gain: newly covered GT fraction per candidate.
+
+    The oracle upper bound for the 1-step greedy NBV policy: render every
+    candidate pose (one batched pinhole-kernel call), backproject with the
+    SAME sampling density the agent's capture uses, and count GT surface
+    points that would flip from uncovered to covered under the coverage
+    metric's threshold. Diagnoses whether the SconeOcc/SconeVis gain model
+    or the greedy harness itself limits NBV quality (the reference never
+    separates the two; its tester only reports the learned policy,
+    testers/scene.py:631-663)."""
+    R, T = get_camera_RT(cand_pose5[:, :3], cand_pose5[:, 3:])
+    zb = render_depth_batch(tri_soa, n_tris, R, T, intr)
+    keys = jax.random.split(key, cand_pose5.shape[0])
+
+    chunk = 2048 if n_slots % 2048 == 0 else n_slots
+
+    def per_cand(z, r, t, k):
+        fp = backproject_sample(z, r, t, intr, k, n_slots,
+                                gathering_factor=gathering_factor,
+                                sensor_range=sensor_range)
+        d = masked_min_dists(gt, fp.points, fp.valid, chunk=chunk)
+        return jnp.sum((d < threshold) & ~covered_now)
+
+    newly = jax.vmap(per_cand)(zb, R, T, keys)
+    return newly.astype(jnp.float32) / gt.shape[0]
 
 
 @functools.partial(jax.jit, static_argnames=("n_tokens",))
@@ -70,8 +101,13 @@ def macarons_nbv_rollout(
     n_tokens: int = 1024,
     n_proxy_tokens: int = 1024,
     interpret: Optional[bool] = None,
+    oracle: bool = False,
     verbose: bool = False,
 ) -> RolloutResult:
+    """oracle=True swaps the learned SconeVis gain for the ground-truth
+    coverage-gain of each candidate (_oracle_gains): the upper bound of
+    this greedy harness, independent of model quality. scone_occ/vis and
+    their variables are ignored in that mode (pass None)."""
     p = params or default_params()
     key = jax.random.PRNGKey(seed)
 
@@ -142,33 +178,36 @@ def macarons_nbv_rollout(
         R, T = get_camera_RT(cur_pose[None, :3], cur_pose[None, 3:])
         R, T = R[0], T[0]
         zbuf = last_zbuf
-        proxy = carve_with_frame(
-            proxy, zbuf, R, T, cur_pose[:3], intr,
-            score_threshold=float(p.score_threshold),
-            carving_tolerance=float(p.carving_tolerance),
-            n_elev=n_elev_vs, n_azim=n_azim_vs,
-            sensor_range=float(p.sensor_range),
-        )
+        if not oracle:
+            proxy = carve_with_frame(
+                proxy, zbuf, R, T, cur_pose[:3], intr,
+                score_threshold=float(p.score_threshold),
+                carving_tolerance=float(p.carving_tolerance),
+                n_elev=n_elev_vs, n_azim=n_azim_vs,
+                sensor_range=float(p.sensor_range),
+            )
 
-        # Occupancy prediction on a proxy-token sample.
-        pc_tokens = _sample_tokens(next_key(), pc.points, pc.valid_mask(),
-                                   n_tokens)
-        box_center = (sx_min + sx_max) / 2.0
-        box_diag = jnp.linalg.norm(sx_max - sx_min)
-        norm = lambda q: (q - box_center) / box_diag
-        vs_idx = jax.random.randint(next_key(), (n_proxy_tokens,), 0,
-                                    proxy.points.shape[0])
-        vh = compute_view_harmonics(
-            proxy.view_states[None, vs_idx], base_h, h_polar,
-            n_elev_vs, n_azim_vs,
-        )
-        occ = _occ_forward(scone_occ, occ_variables, norm(pc_tokens)[None],
-                           norm(proxy.points[vs_idx])[None], vh, next_key())
+            # Occupancy prediction on a proxy-token sample.
+            pc_tokens = _sample_tokens(next_key(), pc.points,
+                                       pc.valid_mask(), n_tokens)
+            box_center = (sx_min + sx_max) / 2.0
+            box_diag = jnp.linalg.norm(sx_max - sx_min)
+            norm = lambda q: (q - box_center) / box_diag
+            vs_idx = jax.random.randint(next_key(), (n_proxy_tokens,), 0,
+                                        proxy.points.shape[0])
+            vh = compute_view_harmonics(
+                proxy.view_states[None, vs_idx], base_h, h_polar,
+                n_elev_vs, n_azim_vs,
+            )
+            occ = _occ_forward(scone_occ, occ_variables,
+                               norm(pc_tokens)[None],
+                               norm(proxy.points[vs_idx])[None], vh,
+                               next_key())
 
-        # Write predicted occupancy back to the proxy field (proxy_proba
-        # update, train_macarons.py:313-317) for the sampled tokens.
-        proxy = proxy._replace(
-            proba=proxy.proba.at[vs_idx].set(occ[0]))
+            # Write predicted occupancy back to the proxy field (proxy_proba
+            # update, train_macarons.py:313-317) for the sampled tokens.
+            proxy = proxy._replace(
+                proba=proxy.proba.at[vs_idx].set(occ[0]))
 
         # Candidate neighbors: unit moves (4 dirs) x nearby azimuths
         # (get_neighboring_poses_2d removes zero-translation neighbors,
@@ -199,18 +238,27 @@ def macarons_nbv_rollout(
                             [elev2, assets.azimuths_deg[c[2]]]])
             for c in cands
         ]).astype(np.float32))
-        # Fov-filtered, occupancy-weighted coverage-gain prediction
-        # (predict_coverage_gain_for_single_camera semantics).
-        gains = predict_coverage_gain(
-            next_key(), scone_vis, vis_variables,
-            proxy.points, proxy.proba,
-            compute_view_harmonics(proxy.view_states[None], base_h, h_polar,
-                                   n_elev_vs, n_azim_vs)[0],
-            cand_pose5, intr, sx_min, sx_max,
-            sensor_range=float(p.sensor_range),
-            seq_len=min(int(p.seq_len), 1024),
-            min_occ=float(p.get("min_occ_for_proxy_points", 0.1)),
-        )
+        if oracle:
+            covered_now = min_dists(gt, pc.points, pc.valid_mask(),
+                                    s_count=pc.count) < 1.0
+            gains = _oracle_gains(
+                tri_soa, n_tris, cand_pose5, gt, covered_now, next_key(),
+                intr, int(p.points_per_frame),
+                jnp.float32(p.gathering_factor),
+                jnp.float32(p.sensor_range))
+        else:
+            # Fov-filtered, occupancy-weighted coverage-gain prediction
+            # (predict_coverage_gain_for_single_camera semantics).
+            gains = predict_coverage_gain(
+                next_key(), scone_vis, vis_variables,
+                proxy.points, proxy.proba,
+                compute_view_harmonics(proxy.view_states[None], base_h,
+                                       h_polar, n_elev_vs, n_azim_vs)[0],
+                cand_pose5, intr, sx_min, sx_max,
+                sensor_range=float(p.sensor_range),
+                seq_len=min(int(p.seq_len), 1024),
+                min_occ=float(p.get("min_occ_for_proxy_points", 0.1)),
+            )
         gains = jnp.where(jnp.asarray(cand_valid), gains, -jnp.inf)
         best = int(jnp.argmax(gains))
         nxt = cands[best]

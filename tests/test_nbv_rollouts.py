@@ -42,6 +42,24 @@ def test_macarons_nbv_rollout_smoke(scone_models):
 
 
 @pytest.mark.slow
+def test_macarons_nbv_oracle_mode():
+    """oracle=True runs modelless (GT coverage gain) and makes progress."""
+    params = default_params(
+        image_height=32, image_width=56, points_per_frame=256,
+        full_pc_capacity=16384, n_gt_surface_points=1024,
+        n_proxy_points=1024, seq_len=64,
+    )
+    assets = pack_generated_scene(generate_scene("simple", seed=6),
+                                  params=params)
+    res = macarons_nbv_rollout(assets, None, None, None, None,
+                               params=params, n_poses=3, seed=1,
+                               oracle=True)
+    assert len(res.coverage_evolution) == 3
+    # Greedy oracle gains are monotone in realized coverage.
+    assert res.coverage_evolution[-1] >= res.coverage_evolution[0] > 0.0
+
+
+@pytest.mark.slow
 def test_object_nbv_rollout_smoke(scone_models):
     _, _, vis, vis_vars = scone_models
     from nextbestpath_tpu.assets.objects import generate_object
