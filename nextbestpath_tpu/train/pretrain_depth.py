@@ -10,10 +10,15 @@ that gives the online photometric loop (train_macarons.make_depth_steps) a
 geometry-aware initialization.
 
 Faithfulness notes:
-* The training frames are generated EXACTLY like the deployed capture
-  chain: a lattice move old->new, frames at interpolation substeps s=2,3,4
-  (sim.rollout.interpolate_pose), target = s4 with context frames s3/s2 —
-  the same (tgt, x_alpha[2]) layout train_macarons feeds the cost volume.
+* The training frames are generated EXACTLY like the deployed inference
+  chain consumes them: a 3-pose random walklet (consecutive lattice moves
+  with small azimuth turns), target = the latest pose's frame, contexts =
+  the two PREVIOUS POSES' frames — train_macarons keeps one frame per
+  pose in frame_hist (train_macarons.py:493) and feeds depth_infer
+  x_alpha = [-1, -2] full-move baselines. (An earlier variant trained on
+  quarter-move interpolation substeps; the 4x-shorter context baseline is
+  a cost-volume domain shift that cost ~5x online depth error despite a
+  strong pretrain-eval number.)
 * Supervision is dense L1 on the 4 disparity scales vs
   depth_to_disparity(zbuf), background rays treated as d_max. This is the
   offline stand-in for ImageNet pretraining, not a reference behavior —
@@ -43,7 +48,6 @@ from ..models.manydepth import (
     disparity_to_depth,
 )
 from ..ops.raytrace import tris_to_soa
-from ..sim.rollout import interpolate_pose
 from ..sim.sensor import capture_rgbd
 from ..sim.tables import build_scene_tables
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
@@ -80,24 +84,20 @@ def depth_scene_from_assets(assets: SceneAssets,
     )
 
 
-def _sample_move(scene: DepthScene, key: jax.Array, n_azim: int):
-    """One random lattice move (old_pose5, new_pose5): uniform inside cell,
-    uniform unblocked direction (stay in place when fully walled), and a
-    small random azimuth turn — the pose statistics of a rollout step."""
-    k_cell, k_dir, k_a0, k_da = jax.random.split(key, 4)
+def _sample_walk(scene: DepthScene, key: jax.Array, n_azim: int,
+                 n_poses: int = 3):
+    """A short random lattice walk: (n_poses, 5) consecutive rollout poses.
+
+    Start uniform over inside cells; each step takes a uniform unblocked
+    direction (stays in place when fully walled) plus a small azimuth turn
+    da in [-2, 2] — the pose statistics of consecutive frame_hist entries
+    in the online loop (train_macarons.py:487-495)."""
+    k_cell, k_a0, key = jax.random.split(key, 3)
     L, H = scene.inside.shape
     logits = jnp.where(scene.inside.reshape(-1), 0.0, -jnp.inf)
     flat = jax.random.categorical(k_cell, logits)
-    c0 = jnp.stack([flat // H, flat % H])
-    blocked = scene.edge_blocked[:, c0[0], c0[1]]  # (4,)
-    dir_logits = jnp.where(blocked, -jnp.inf, 0.0)
-    any_open = jnp.any(~blocked)
-    d = jax.random.categorical(k_dir, jnp.where(any_open, dir_logits, 0.0))
-    c1 = jnp.where(any_open, c0 + _DIRS[d], c0)
-    c1 = jnp.clip(c1, 0, jnp.asarray([L - 1, H - 1]))
-    a0 = jax.random.randint(k_a0, (), 0, n_azim)
-    da = jax.random.randint(k_da, (), -2, 3)
-    a1 = jnp.mod(a0 + da, n_azim)
+    c = jnp.stack([flat // H, flat % H])
+    a = jax.random.randint(k_a0, (), 0, n_azim)
 
     def pose5(c, a):
         pos = scene.positions[c[0], c[1]]
@@ -105,38 +105,51 @@ def _sample_move(scene: DepthScene, key: jax.Array, n_azim: int):
                            jnp.float32).at[3].set(scene.elev).at[4].set(
                                scene.azims[a])
 
-    return pose5(c0, a0), pose5(c1, a1)
+    poses = [pose5(c, a)]
+    for _ in range(n_poses - 1):
+        k_dir, k_da, key = jax.random.split(key, 3)
+        blocked = scene.edge_blocked[:, c[0], c[1]]  # (4,)
+        dir_logits = jnp.where(blocked, -jnp.inf, 0.0)
+        any_open = jnp.any(~blocked)
+        d = jax.random.categorical(k_dir,
+                                   jnp.where(any_open, dir_logits, 0.0))
+        c = jnp.where(any_open, c + _DIRS[d], c)
+        c = jnp.clip(c, 0, jnp.asarray([L - 1, H - 1]))
+        da = jax.random.randint(k_da, (), -2, 3)
+        a = jnp.mod(a + da, n_azim)
+        poses.append(pose5(c, a))
+    return poses
 
 
 def make_batch_fn(intr: CameraIntrinsics, n_azim: int, batch: int,
                   n_steps: int = 4, interpret: Optional[bool] = None):
     """Jitted batch builder: (scene, key) -> supervised ManyDepth batch.
 
-    Per sample: frames at interpolation substeps s = n_steps-2 .. n_steps of
-    a random move; target is the final substep, contexts are the two frames
-    behind it (the train_macarons frame-history layout)."""
+    Per sample: frames at three CONSECUTIVE ROLLOUT POSES of a random
+    walklet; target is the latest pose, contexts are the two poses behind
+    it — exactly the frame_hist layout depth_infer consumes online
+    (train_macarons.py:526-530). n_steps is kept for signature
+    compatibility (the walk moves one full lattice step per frame)."""
+    del n_steps
 
     @jax.jit
     def make_batch(scene: DepthScene, key: jax.Array):
         tgts, Rs, Ts, xas, Ras, Tas, zbufs = [], [], [], [], [], [], []
         for b in range(batch):
             kb = jax.random.fold_in(key, b)
-            old, new = _sample_move(scene, kb, n_azim)
             frames = []
-            for s in (n_steps - 2, n_steps - 1, n_steps):
-                pose = interpolate_pose(old, new, jnp.int32(s), n_steps,
-                                        n_azim)
+            for pose in _sample_walk(scene, kb, n_azim, n_poses=3):
                 rgb, zbuf, R, T = capture_rgbd(scene.tri_soa, scene.n_tris,
                                                pose, intr)
                 frames.append((rgb, zbuf, R, T))
-            (r2, _, R2, T2), (r3, _, R3, T3), (r4, z4, R4, T4) = frames
-            tgts.append(r4)
-            Rs.append(R4)
-            Ts.append(T4)
-            xas.append(jnp.stack([r3, r2]))
-            Ras.append(jnp.stack([R3, R2]))
-            Tas.append(jnp.stack([T3, T2]))
-            zbufs.append(z4)
+            (r0, _, R0, T0), (r1, _, R1, T1), (r2, z2, R2, T2) = frames
+            tgts.append(r2)
+            Rs.append(R2)
+            Ts.append(T2)
+            xas.append(jnp.stack([r1, r0]))
+            Ras.append(jnp.stack([R1, R0]))
+            Tas.append(jnp.stack([T1, T0]))
+            zbufs.append(z2)
         return (jnp.stack(tgts), jnp.stack(Rs), jnp.stack(Ts),
                 jnp.stack(xas), jnp.stack(Ras), jnp.stack(Tas),
                 jnp.stack(zbufs))
