@@ -4,15 +4,20 @@ pretrain_scone_vis.py trainers).
 
 Usage: python pretrain_scone.py occ --steps 100
        python pretrain_scone.py vis --steps 100 --cov-loss uncentered_l1
+       python pretrain_scone.py both --steps 4000 --n-objects 32 --batch 8
+       (``both`` trains occ then vis over ONE shared sample set — object
+       generation renders every candidate view, so sharing it halves the
+       cost of a full pretraining pass.)
 """
 
 import argparse
 import os
+import time
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("which", choices=["occ", "vis"])
+    ap.add_argument("which", choices=["occ", "vis", "both"])
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--seed", type=int, default=0)
@@ -31,19 +36,25 @@ def main():
         make_pretrain_sample, pretrain_scone_occ, pretrain_scone_vis)
     from nextbestpath_tpu.utils.checkpoint import save_checkpoint
 
+    t0 = time.time()
     samples = [make_pretrain_sample(args.seed + i)
                for i in range(args.n_objects)]
-    if args.which == "occ":
+    print(f"generated {len(samples)} samples in {time.time() - t0:.0f}s",
+          flush=True)
+    if args.which in ("occ", "both"):
         model, variables, losses = pretrain_scone_occ(
             n_steps=args.steps, lr=args.lr, seed=args.seed, samples=samples,
             batch=args.batch)
         save_checkpoint(os.path.join(args.out, "scone_occ.ckpt"), variables)
-    else:
+        print(f"occ final loss: {losses[-1]:.4f} (first {losses[0]:.4f})",
+              flush=True)
+    if args.which in ("vis", "both"):
         model, variables, losses = pretrain_scone_vis(
             n_steps=args.steps, lr=args.lr, seed=args.seed,
             cov_loss=args.cov_loss, samples=samples, batch=args.batch)
         save_checkpoint(os.path.join(args.out, "scone_vis.ckpt"), variables)
-    print(f"final loss: {losses[-1]:.4f} (first {losses[0]:.4f})")
+        print(f"vis final loss: {losses[-1]:.4f} (first {losses[0]:.4f})",
+              flush=True)
 
 
 if __name__ == "__main__":
