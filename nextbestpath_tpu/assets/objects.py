@@ -117,7 +117,11 @@ def generate_object(seed: int = 0, subdiv: int = 3, n_bumps: int = 6,
     verts, faces = _octasphere(subdiv)
 
     if family == "blob":
-        r = 1.0 + _bump_field(verts, rng, n_bumps, -0.35, 0.6)
+        # Blob keeps its original 0.35 floor so same-seed blob objects are
+        # bit-identical to earlier pretraining sets (the shared 0.25 floor
+        # below only binds for the newer concave families).
+        r = np.clip(1.0 + _bump_field(verts, rng, n_bumps, -0.35, 0.6),
+                    0.35, None)
     elif family == "superquadric":
         r = _superquadric_radius(verts, rng)
     elif family == "sq_bumps":

@@ -239,8 +239,15 @@ def macarons_nbv_rollout(
             for c in cands
         ]).astype(np.float32))
         if oracle:
+            # Non-TPU backends fall back to masked_min_dists, which requires
+            # a chunk-divisible pts length — the default full_pc_capacity
+            # (2,000,000) is not 8192-divisible, so pick the chunk the same
+            # way _oracle_gains does.
+            cap = int(pc.points.shape[0])
             covered_now = min_dists(gt, pc.points, pc.valid_mask(),
-                                    s_count=pc.count) < 1.0
+                                    s_count=pc.count,
+                                    chunk=2048 if cap % 2048 == 0 else cap
+                                    ) < 1.0
             gains = _oracle_gains(
                 tri_soa, n_tris, cand_pose5, gt, covered_now, next_key(),
                 intr, int(p.points_per_frame),

@@ -74,6 +74,35 @@ _DIRS_ARR = jnp.asarray(DIRS, jnp.int32)  # (4, 2)
 # weights share one executable.
 _PROGRAM_CACHE = {}
 
+# Watchdog-safe auto-segmentation (VERDICT r4 item 8). The tunneled TPU
+# worker kills minutes-long SINGLE device executions (round-4 crash bisect:
+# a 2500-pose monolithic scan and a batched 8x101 program both died, while
+# short executions are reliable at any batch size — duration, not a kernel
+# bug). Default runs therefore never launch a long monolithic program:
+# rollouts longer than _AUTO_SEG_THRESHOLD poses run as _AUTO_SEG_POSES-pose
+# segments (bit-identical to the monolithic scan — the step consumes only
+# the absolute pose index, and state stays on device between dispatches).
+# A 25-pose segment is ~0.55 s of device work at the measured 22 ms/pose —
+# two orders of magnitude under the kill window — and segmentation costs no
+# throughput because dispatch is asynchronous (BENCH_r04: segment-25 45.0
+# poses/s at 200 poses vs 46.5 monolithic at 30). The segment length is
+# deliberately FIXED rather than sized from a measured rate: every distinct
+# segment length is a separate XLA program, and scan-program compiles are
+# minutes-long through the remote-compile tunnel, so adaptive resizing
+# would trade a nonexistent throughput problem for real compile churn.
+# segment_len=0 forces the monolithic program; an explicit int keeps
+# manual control.
+_AUTO_SEG_POSES = 25
+_AUTO_SEG_THRESHOLD = 50
+
+
+def resolve_segment_len(segment_len: Optional[int], n_poses: int):
+    """Resolve a run's segment length: None = auto (fixed watchdog-safe
+    segments past the threshold), 0 = monolithic, int = manual."""
+    if segment_len is None and n_poses > _AUTO_SEG_THRESHOLD:
+        return _AUTO_SEG_POSES
+    return segment_len
+
 
 def _edge_dir_index(a_lh: jnp.ndarray, b_lh: jnp.ndarray):
     """Direction index of edge a->b, or -1 when not a unit move."""
@@ -216,6 +245,10 @@ class ScanRollout:
         # in every backprojection (sim/sensor.py) — same n_keep contract,
         # cheaper sort footprint on TPU.
         self.stratified = bool(p.get("stratified_sampling", False))
+        # Batched substep capture (sim/rollout.py move_and_capture
+        # batched=True): one subsample + one fused append per move instead
+        # of a 4x serial chain; same results (tests/test_batched_capture).
+        self.batched_capture = bool(p.get("batched_capture", False))
 
         self.scene, self.tables = scene_arrays_from_assets(
             assets, n_pieces=int(p.n_pieces), interpret=interpret)
@@ -237,7 +270,7 @@ class ScanRollout:
             int(p.n_pieces), int(p.points_per_frame),
             float(p.gathering_factor), float(p.sensor_range),
             int(p.n_interpolation_steps), int(p.max_path_len),
-            self.stratified,
+            self.stratified, self.batched_capture,
         )
 
     # -- pose helpers -------------------------------------------------------
@@ -488,7 +521,7 @@ class ScanRollout:
                 n_slots=int(p.points_per_frame),
                 gathering_factor=float(p.gathering_factor),
                 sensor_range=float(p.sensor_range), interpret=self.interpret,
-                stratified=self.stratified,
+                stratified=self.stratified, batched=self.batched_capture,
             )
         visited_rot = state.visited_rot.at[nxt[0], nxt[1], nxt[2]].set(True)
 
@@ -639,7 +672,7 @@ class ScanRollout:
                     n_slots=int(p.points_per_frame),
                     gathering_factor=float(p.gathering_factor),
                     sensor_range=float(p.sensor_range), interpret=interpret,
-                    stratified=stratified,
+                    stratified=stratified, batched=self.batched_capture,
                 )
                 visited = jnp.zeros((L, H, A), bool)
                 visited = visited.at[cur[0], cur[1], cur[2]].set(True)
@@ -707,10 +740,14 @@ class ScanRollout:
     def run(self, n_poses: int = 101, seed: int = 8,
             variables=None, segment_len: Optional[int] = None
             ) -> RolloutResult:
+        """segment_len: None (default) = automatic watchdog-safe
+        segmentation for rollouts longer than _AUTO_SEG_THRESHOLD poses;
+        0 = force one monolithic program; int = manual segment length."""
         state = self.initial_state(seed=seed, n_poses=n_poses)
         if variables is not None and self._fold_bn:
             variables = fold_bn_variables(variables)
         v = variables if variables is not None else self.variables
+        segment_len = resolve_segment_len(segment_len, n_poses)
         t1 = time.time()
         if segment_len and segment_len < n_poses:
             covs = []
@@ -756,6 +793,13 @@ def run_interleaved(rollouts, n_poses: int = 101, seed: int = 8,
     buffer shapes — use ``pad_assets_to_common``); compile by running one
     scene once before timing. ``seeds`` (one per scene) overrides
     ``seed + i``.
+
+    Timing semantics differ from ``ScanRollout.run``: every returned
+    ``RolloutResult.wall_time_s`` is the SHARED N-scene wall clock (the
+    scenes execute interleaved, so no per-scene time exists) and
+    ``steps_per_sec`` is the AGGREGATE throughput
+    ``len(rollouts) * n_poses / wall`` — identical across the returned
+    results. Divide by ``len(rollouts)`` for a per-scene average.
     """
     if seeds is None:
         seeds = [seed + i for i in range(len(rollouts))]
@@ -812,6 +856,18 @@ class BatchedScanRollout:
     the scene axis over devices (the reference's one-scene-per-GPU DDP,
     macarons_utils.py:279-293): scene/state arrays get
     NamedSharding(mesh, P(axis)) and the weights are replicated.
+
+    DEPRECATED for single-chip benchmarks and promotion gates (VERDICT r4
+    weak #3): on TPU the bf16 batch-B U-Net tiles differently from batch-1,
+    occasionally flipping a goal argmax, so per-scene trajectories drift
+    from single-scene runs (f32 CPU parity is bit-exact —
+    test_batched_b2_matches_single_scenes — the drift is device numerics,
+    not semantics) and it is also the slowest multi-scene mode (17.6 vs
+    pipelined 46.8 total poses/s, BENCH_r04). Use ``run_interleaved`` on one
+    chip and the mesh-sharded modes past one chip. Still appropriate for
+    checkpoint SELECTION (train/driver.py periodic eval), where both
+    candidates run through the same program and only their ranking matters,
+    and as the vmap body for the multi-chip shard_map path.
     """
 
     def __init__(self, assets_list, nbp_model: NBP, nbp_variables,
@@ -891,6 +947,11 @@ class BatchedScanRollout:
 
     def run(self, n_poses: int = 101, seed: int = 8, variables=None,
             segment_len: Optional[int] = None):
+        """segment_len semantics as in ScanRollout.run: None = auto
+        watchdog-safe segmentation past _AUTO_SEG_THRESHOLD poses (batched
+        executions are B x longer, so the auto default matters most here —
+        the round-3 8x101 monolithic program was the original crash),
+        0 = monolithic, int = manual."""
         states = [r.initial_state(seed=seed + i, n_poses=n_poses)
                   for i, r in enumerate(self.rollouts)]
         batched = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
@@ -900,6 +961,7 @@ class BatchedScanRollout:
         if self.mesh is not None:
             batched = jax.device_put(batched, self._data_sharding)
             v = jax.device_put(v, self._repl_sharding)
+        segment_len = resolve_segment_len(segment_len, n_poses)
         t1 = time.time()
         if segment_len and segment_len < n_poses:
             covs = []

@@ -42,6 +42,20 @@ class TrajectoryBuffer(NamedTuple):
         return TrajectoryBuffer(self.xyz.at[slot].set(pos),
                                 jnp.minimum(self.count + 1, cap))
 
+    def append_many(self, xyz: jnp.ndarray) -> "TrajectoryBuffer":
+        """Append B positions in order with one scatter — bit-identical to B
+        sequential append calls, including the saturated case (sequential
+        appends past capacity all overwrite the last slot, last write wins,
+        so colliding writes keep only the final one)."""
+        B = xyz.shape[0]
+        cap = self.xyz.shape[0]
+        slots = self.count + jnp.arange(B, dtype=jnp.int32)
+        keep = (slots < cap - 1) | (jnp.arange(B) == B - 1)
+        slots = jnp.where(keep, jnp.minimum(slots, cap - 1), cap)
+        return TrajectoryBuffer(
+            self.xyz.at[slots].set(xyz, mode="drop"),
+            jnp.minimum(self.count + B, cap))
+
     def valid_mask(self) -> jnp.ndarray:
         return jnp.arange(self.xyz.shape[0]) < self.count
 
@@ -73,7 +87,7 @@ def interpolate_pose(old_pose5: jnp.ndarray, new_pose5: jnp.ndarray,
 @functools.partial(
     jax.jit,
     static_argnames=("intr", "n_steps", "n_azim", "n_slots", "interpret",
-                     "stratified", "gathering_factor"),
+                     "stratified", "gathering_factor", "batched"),
 )
 def move_and_capture(
     tri_soa: jnp.ndarray,
@@ -91,19 +105,52 @@ def move_and_capture(
     sensor_range: float = 70.0,
     interpret: Optional[bool] = None,
     stratified: bool = False,
+    batched: bool = False,
 ) -> Tuple[PointBuffer, TrajectoryBuffer, jnp.ndarray]:
     """Execute one lattice move: n_steps interpolation frames, each rendered,
     backprojected, subsampled, and appended. Returns (pc, traj, last_zbuf).
 
-    The substep loop is a lax.scan (not a Python unroll): the rollout scan
-    step embeds this 4x, so a rolled body keeps the traced program ~4x
-    smaller — compile time through the remote-TPU compiler is a first-order
-    cost (BASELINE.md round 1: 8-12 min per fresh process). A batched
-    variant (render all n_steps frames via render_depth_batch + vmapped
-    subsampling) was measured SLOWER on v5e (40.2 vs 43.0 poses/s at the
-    full bench config): XLA keeps each substep's render->backproject->append
-    chain fused and data-hot, while batching materializes all frames and
-    ray grids to HBM first."""
+    Two lowerings, same results:
+
+    * ``batched=False`` — the substep loop is a lax.scan (rolled body keeps
+      the traced program ~4x smaller; compile time through the remote-TPU
+      compiler is a first-order cost, BASELINE.md round 1). Each substep's
+      render->backproject->append chain is serial through the pc carry.
+    * ``batched=True`` — unroll the n_steps substeps (per-frame batch-1
+      render + subsample kernels, same RNG and pixel selection as the scan
+      path's), then land all n_steps point batches with ONE fused scatter
+      (PointBuffer.append_batches) and all trajectory appends with one
+      more. Removes the scan carry: without the pc threaded through every
+      substep, XLA schedules the four render->subsample chains freely and
+      the append chain of small scatters collapses to one kernel. Targets
+      the latency-bound pose step (VERDICT r4 weak #2; the round-2 batched
+      attempt predated the pinhole MXU kernel and was slower — this one is
+      re-measured on v5e, BASELINE.md round 5).
+
+    The two paths select identical pixels and produce identical buffer
+    layouts; world coordinates agree to one ulp but are NOT bit-identical
+    (XLA fuses the unrolled graph differently from the scan body), so
+    batched=True is an opt-in benchmark mode, never a gate mode
+    (regression: tests/test_batched_capture.py)."""
+
+    if batched:
+        pts_all, valid_all, poses_xyz = [], [], []
+        zbuf = None
+        for s in range(1, n_steps + 1):
+            pose = interpolate_pose(old_pose5, new_pose5, jnp.int32(s),
+                                    n_steps, n_azim)
+            zbuf, R, T = capture_depth(tri_soa, n_tris, pose, intr)
+            sub = jax.random.fold_in(key, jnp.int32(s))
+            b = backproject_sample(
+                zbuf, R, T, intr, sub, n_slots,
+                gathering_factor=gathering_factor,
+                sensor_range=sensor_range, stratified=stratified)
+            pts_all.append(b.points)
+            valid_all.append(b.valid)
+            poses_xyz.append(pose[:3])
+        pc = pc.append_batches(jnp.stack(pts_all), jnp.stack(valid_all))
+        traj = traj.append_many(jnp.stack(poses_xyz))
+        return pc, traj, zbuf
 
     def substep(carry, s):
         pc_c, traj_c = carry

@@ -260,6 +260,10 @@ def run_training_nbp_scan(
 
         if epoch == 0:
             validation_data = db.extract_validation(num=1200)
+            # extract_validation REMOVES entries from db.entries; re-mark the
+            # gain-stats high-water so epoch 1's slice doesn't silently skip
+            # as many new labels as were moved to validation.
+            db_stat_mark = len(db.entries)
             if val_path:
                 db.save_entries(val_path, validation_data)
             if verbose:

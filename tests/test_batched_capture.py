@@ -86,3 +86,67 @@ def test_move_and_capture_matches_rolled_reference():
                                np.asarray(capture_depth(soa, nt, new,
                                                         intr)[0]),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_move_and_capture_batched_path_equivalent():
+    """batched=True (fused append, no scan carry) vs the default scan path:
+    identical pixel SELECTION (same RNG, same counts, same buffer layout)
+    and world points equal to one ulp. Exact bit-identity across the two
+    program structures is not achievable — XLA fuses the unrolled graph
+    differently from the scan body, so the unproject FMA rounds ~0.6% of
+    coordinates one ulp apart (measured max 4e-6 abs). The mode is
+    therefore opt-in for measured benchmarks (params.batched_capture), not
+    a default, and never a gate mode (cf. the deprecated vmap rollout)."""
+    p, soa, nt, intr = _scene()
+    old = jnp.asarray([7.0, 3.3, 7.0, 0.0, 0.0], jnp.float32)
+    new = jnp.asarray([10.0, 3.3, 7.0, 0.0, 315.0], jnp.float32)
+    key = jax.random.PRNGKey(42)
+    for stratified in (True, False):
+        pc0 = PointBuffer.create(16384)
+        traj0 = TrajectoryBuffer.create(64)
+        a = move_and_capture(soa, nt, old, new, pc0, traj0, key, intr,
+                             n_steps=4, n_azim=8, n_slots=512,
+                             stratified=stratified)
+        b = move_and_capture(soa, nt, old, new, pc0, traj0, key, intr,
+                             n_steps=4, n_azim=8, n_slots=512,
+                             stratified=stratified, batched=True)
+        assert int(a[0].count) == int(b[0].count) > 0
+        np.testing.assert_allclose(np.asarray(a[0].points),
+                                   np.asarray(b[0].points),
+                                   rtol=0, atol=1e-5)
+        # Selection parity: the same buffer rows are populated (zeros
+        # elsewhere), so a row-is-zero mask must match exactly.
+        np.testing.assert_array_equal(
+            np.all(np.asarray(a[0].points) == 0, axis=-1),
+            np.all(np.asarray(b[0].points) == 0, axis=-1))
+        np.testing.assert_allclose(np.asarray(a[1].xyz),
+                                   np.asarray(b[1].xyz), rtol=0, atol=1e-6)
+        assert int(a[1].count) == int(b[1].count)
+        np.testing.assert_allclose(np.asarray(a[2]), np.asarray(b[2]),
+                                   rtol=0, atol=1e-5)
+
+
+def test_append_batches_saturation_matches_sequential():
+    """append_batches near capacity must drop exactly like sequential
+    appends; TrajectoryBuffer.append_many must keep last-write-wins at the
+    final slot."""
+    pts = jnp.arange(4 * 8 * 3, dtype=jnp.float32).reshape(4, 8, 3)
+    valid = jnp.ones((4, 8), bool).at[1, 5:].set(False)  # batch 1: 5 valid
+    pb_seq = PointBuffer.create(20)
+    for b in range(4):
+        from nextbestpath_tpu.sim.sensor import FramePoints
+        pb_seq = pb_seq.append(FramePoints(pts[b], valid[b]),
+                               prefix_valid=True)
+    pb_bat = PointBuffer.create(20).append_batches(pts, valid)
+    assert int(pb_seq.count) == int(pb_bat.count) == 20
+    np.testing.assert_array_equal(np.asarray(pb_seq.points),
+                                  np.asarray(pb_bat.points))
+
+    xyz = jnp.arange(5 * 3, dtype=jnp.float32).reshape(5, 3)
+    tr_seq = TrajectoryBuffer.create(3)
+    for b in range(5):
+        tr_seq = tr_seq.append(xyz[b])
+    tr_bat = TrajectoryBuffer.create(3).append_many(xyz)
+    assert int(tr_seq.count) == int(tr_bat.count)
+    np.testing.assert_array_equal(np.asarray(tr_seq.xyz),
+                                  np.asarray(tr_bat.xyz))

@@ -165,3 +165,20 @@ def test_batched_scan_rollout_two_scenes():
     for res in results:
         assert len(res.coverage_evolution) == 2
         assert res.coverage_evolution[0] > 0.0
+
+
+def test_auto_segment_resolution():
+    """Default runs past the threshold are auto-segmented (watchdog safety,
+    round-4 crash bisect: minutes-long single executions kill the tunneled
+    worker); short runs stay monolithic; 0 forces monolithic; explicit ints
+    pass through."""
+    from nextbestpath_tpu.eval.scan_rollout import (_AUTO_SEG_POSES,
+                                                    _AUTO_SEG_THRESHOLD,
+                                                    resolve_segment_len)
+
+    assert resolve_segment_len(None, _AUTO_SEG_THRESHOLD + 1) == \
+        _AUTO_SEG_POSES
+    assert resolve_segment_len(None, 5000) == _AUTO_SEG_POSES
+    assert resolve_segment_len(None, _AUTO_SEG_THRESHOLD) is None
+    assert resolve_segment_len(0, 5000) == 0
+    assert resolve_segment_len(17, 5000) == 17

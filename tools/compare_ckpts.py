@@ -48,11 +48,15 @@ def main():
                     help="minimum mean-AUC improvement required for a "
                          "PROMOTE verdict (noise floor at 2x2 per level)")
     ap.add_argument("--mode", choices=("batched", "sequential"),
-                    default="batched",
-                    help="batched = one vmapped program over all scenes "
-                         "(default, one compile); sequential = one "
-                         "single-scene program reused across scenes "
-                         "(multi_scene_bench's reuse mode)")
+                    default="sequential",
+                    help="sequential (default) = one single-scene program "
+                         "reused across scenes — per-scene trajectories "
+                         "match deployment exactly; batched = one vmapped "
+                         "program over all scenes (DEPRECATED for gates: on "
+                         "TPU bf16 batch-B trajectories drift from "
+                         "single-scene runs, VERDICT r4 weak #3 — the A/B "
+                         "comparison stays fair but scores a perturbed "
+                         "workload)")
     ap.add_argument("--segment", type=int, default=26,
                     help="segment_len for chunked execution: keeps every "
                          "device execution short — minutes-long single "
@@ -122,9 +126,14 @@ def main():
     aucs = {"a": {a.name: [] for a in assets},
             "b": {a.name: [] for a in assets}}
     if args.mode == "batched":
+        # The batched branch scores every scene with ONE candidate-B weight
+        # set, which is only correct in single-ckpt mode (per-level mode
+        # forces sequential above — keep that invariant explicit).
+        assert args.ckpt_b_per_level is None, (
+            "per-level candidates require --mode sequential")
         rollout = BatchedScanRollout(assets, model, var_a, params=params)
         for s in range(args.seeds):
-            for key, var in (("a", var_a), ("b", var_b_by_diff[DIFFS[0]])):
+            for key, var in (("a", var_a), ("b", var_b)):
                 for a, r in zip(assets, rollout.run(n_poses=args.poses,
                                                     seed=1000 + 97 * s,
                                                     variables=var,
