@@ -47,6 +47,10 @@ def main():
     # second program.
     ap.add_argument("--secondary", action="store_true", default=True)
     ap.add_argument("--no-secondary", dest="secondary", action="store_false")
+    # Opt-in batched substep capture (sim/rollout.py move_and_capture
+    # batched=True): fused append, no scan carry; selection-identical,
+    # one-ulp float delta. Benchmark mode only.
+    ap.add_argument("--batched-capture", action="store_true", default=False)
     args = ap.parse_args()
 
     import jax
@@ -76,6 +80,8 @@ def main():
         poses = args.poses
     if args.stratified:
         params.update(stratified_sampling=True)
+    if args.batched_capture:
+        params.update(batched_capture=True)
 
     all_assets = [
         pack_generated_scene(generate_scene(args.difficulty,

@@ -79,8 +79,13 @@ class MacaronsTrainState:
 
     @staticmethod
     def create(key: jax.Array, params: Optional[Params] = None,
-               depth_lr: float = 1e-4, scone_lr: float = 1e-4
-               ) -> "MacaronsTrainState":
+               depth_lr: float = 1e-4, scone_lr: float = 1e-4,
+               depth_clip: float = 0.0) -> "MacaronsTrainState":
+        """depth_clip > 0 prepends global-norm gradient clipping to the
+        online depth optimizer — part of the staged-unfreeze recipe
+        (VERDICT r4 item 4): unfrozen photometric updates on shading-only
+        frames otherwise blow up the pretrained model within poses
+        (data/depth_quality_r4_frozen.json)."""
         p = params or default_params()
         model = Macarons.create(
             key, image_height=int(p.image_height),
@@ -88,7 +93,9 @@ class MacaronsTrainState:
         )
         occ_tx = optax.adam(scone_lr)
         vis_tx = optax.adam(scone_lr)
-        depth_tx = optax.adam(depth_lr)
+        depth_tx = (optax.chain(optax.clip_by_global_norm(depth_clip),
+                                optax.adam(depth_lr))
+                    if depth_clip > 0 else optax.adam(depth_lr))
         return MacaronsTrainState(
             model=model,
             occ_opt_state=occ_tx.init(model.occ_vars),
@@ -183,6 +190,8 @@ def train_macarons_online(
     n_proxy_tokens: int = 512,
     use_perfect_depth: bool = True,
     learn_depth: bool = False,
+    unfreeze_depth_after: int = 0,
+    depth_reject_factor: float = 0.0,
     log_depth_error: bool = False,
     memory=None,
     scene_memory_path: Optional[str] = None,
@@ -477,6 +486,10 @@ def train_macarons_online(
         float(3.0 * proxy.distance_between_points),
         float(2.0 * jnp.linalg.norm(sx_max - sx_min)),
     )
+    # Staged-unfreeze guard state (depth_reject_factor > 0): recent accepted
+    # photometric losses + the last known-good (vars, opt) snapshot.
+    deque_photos: List[float] = []
+    depth_snapshot = None
 
     for pose_i in range(n_poses):
         cov = float(coverage_percentage(gt, pc.points, pc.count, next_key()))
@@ -501,7 +514,8 @@ def train_macarons_online(
             zbuf, R, T = capture_depth(tri_soa, n_tris, cur_pose, intr)
 
         have_context = need_rgb and len(frame_hist) >= 3
-        if learn_depth and len(frame_hist) >= 4:
+        if learn_depth and pose_i >= unfreeze_depth_after \
+                and len(frame_hist) >= 4:
             # Online self-supervised depth step, one pose behind capture:
             # target = previous frame, alphas = [-1, -2, +1] relative to it
             # (params.alphas, create_batch_for_depth_model,
@@ -514,12 +528,33 @@ def train_macarons_online(
                              frame_hist[-1][1]])
             T_a = jnp.stack([frame_hist[-3][2], frame_hist[-4][2],
                              frame_hist[-1][2]])
-            (state.model.depth_vars, state.depth_opt_state, photo,
-             reg) = depth_step(state.model.depth_vars,
-                               state.depth_opt_state, frame_hist[-2][0],
-                               frame_hist[-2][1], frame_hist[-2][2],
-                               x_alpha, R_a, T_a, next_key())
-            logs["depth_loss"].append(float(photo))
+            new_vars, new_opt, photo, reg = depth_step(
+                state.model.depth_vars, state.depth_opt_state,
+                frame_hist[-2][0], frame_hist[-2][1], frame_hist[-2][2],
+                x_alpha, R_a, T_a, next_key())
+            photo_f = float(photo)
+            # Loss-spike rejection (staged-unfreeze recipe, VERDICT r4
+            # item 4): ``photo`` is evaluated at the PRE-update weights, so
+            # a spike means earlier accepted updates (or a no-overlap
+            # rotation-heavy frame whose photometric gradient is
+            # depth-independent garbage — the r3 bimodality) poisoned the
+            # model or the sample. On a spike: roll back to the last good
+            # snapshot and discard this update; otherwise snapshot the
+            # pre-update weights as known-good and accept.
+            good = deque_photos and photo_f <= depth_reject_factor * float(
+                np.median(deque_photos[-10:]))
+            if depth_reject_factor <= 0 or not deque_photos or good:
+                if depth_reject_factor > 0:
+                    depth_snapshot = (state.model.depth_vars,
+                                      state.depth_opt_state)
+                    deque_photos.append(photo_f)
+                state.model.depth_vars = new_vars
+                state.depth_opt_state = new_opt
+            elif depth_snapshot is not None:
+                state.model.depth_vars, state.depth_opt_state = \
+                    depth_snapshot
+                logs.setdefault("depth_rejected_poses", []).append(pose_i)
+            logs["depth_loss"].append(photo_f)
         if not use_perfect_depth and have_context:
             # Backproject through the PREDICTED depth (apply_depth_model,
             # macarons_utils.py:1089-1289) instead of the rendered zbuf.

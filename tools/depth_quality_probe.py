@@ -54,6 +54,22 @@ def main():
                          "phases: measures the --depth-ckpt weights as-is "
                          "(isolates pretrained quality from online drift; "
                          "the reference always keeps learning online)")
+    # Staged-unfreeze recipe (VERDICT r4 item 4): keep the warm start
+    # frozen for K poses, then learn with a much lower LR, gradient
+    # clipping, and loss-spike rejection (rollback to the last good
+    # snapshot). The r4 finding was that naive learn_depth=True destroys a
+    # pretrained model within poses; this measures whether controlled
+    # online learning can match or beat the frozen recipe.
+    ap.add_argument("--unfreeze-after", type=int, default=0,
+                    help="poses before the first online depth update")
+    ap.add_argument("--depth-lr", type=float, default=1e-4)
+    ap.add_argument("--depth-clip", type=float, default=0.0,
+                    help="global-norm gradient clip for online updates "
+                         "(0 = off)")
+    ap.add_argument("--reject-factor", type=float, default=0.0,
+                    help="reject/rollback updates when the photometric "
+                         "loss exceeds this factor x median of recent "
+                         "accepted losses (0 = off)")
     ap.add_argument("--out", default="data/depth_quality.json")
     args = ap.parse_args()
 
@@ -81,7 +97,9 @@ def main():
     # Phase 1: online depth learning under perfect-depth mapping, logging
     # the inference-vs-zbuf error every pose (train_macarons.py:1089-1388).
     state = MacaronsTrainState.create(jax.random.PRNGKey(args.seed),
-                                      params=params)
+                                      params=params,
+                                      depth_lr=args.depth_lr,
+                                      depth_clip=args.depth_clip)
     if args.depth_ckpt:
         from nextbestpath_tpu.utils.checkpoint import load_checkpoint
 
@@ -92,7 +110,9 @@ def main():
     learn = not args.freeze_depth
     logs = train_macarons_online(
         assets, state, params=params, n_poses=args.poses, seed=args.seed,
-        use_perfect_depth=True, learn_depth=learn, log_depth_error=True,
+        use_perfect_depth=True, learn_depth=learn,
+        unfreeze_depth_after=args.unfreeze_after,
+        depth_reject_factor=args.reject_factor, log_depth_error=True,
         verbose=True)
     dl = logs["depth_loss"]
     de = logs["depth_abs_err"]
@@ -108,6 +128,11 @@ def main():
         # actually moves when predicted depth replaces the rendered zbuf.
         "store_coverage_perfect_depth": round(
             logs["store_coverage"][-1], 4),
+        "unfreeze_after": args.unfreeze_after,
+        "depth_lr": args.depth_lr,
+        "depth_clip": args.depth_clip,
+        "reject_factor": args.reject_factor,
+        "rejected_updates": len(logs.get("depth_rejected_poses", [])),
     }
     print(f"# phase1: {summary}", file=sys.stderr, flush=True)
 
@@ -116,7 +141,9 @@ def main():
     # perfect-depth curve isolates what predicted depth costs the mapper.
     logs_pred = train_macarons_online(
         assets, state, params=params, n_poses=args.poses, seed=args.seed,
-        use_perfect_depth=False, learn_depth=learn, log_depth_error=True,
+        use_perfect_depth=False, learn_depth=learn,
+        unfreeze_depth_after=args.unfreeze_after,
+        depth_reject_factor=args.reject_factor, log_depth_error=True,
         verbose=True)
     summary["coverage_predicted_depth"] = round(logs_pred["coverage"][-1], 4)
     summary["store_coverage_predicted_depth"] = round(
