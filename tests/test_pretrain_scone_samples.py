@@ -50,3 +50,23 @@ def test_make_interior_sample_contract():
     assert 0.01 < occ_frac < 0.99, occ_frac
     assert float(s.gt_coverage.min()) >= 0.0
     assert float(s.gt_coverage.max()) <= 1.0
+
+
+def test_pretrain_loops_accept_interior_samples():
+    """Both pretraining loops must train on interior-domain samples (the
+    round-5 deployment-domain set): finite, generally-decreasing losses."""
+    from nextbestpath_tpu.train.pretrain_scone import (
+        make_interior_sample, pretrain_scone_occ, pretrain_scone_vis)
+
+    samples = [make_interior_sample(i, n_partial=256, n_query=128,
+                                    n_candidates=4, n_views=2, scenes=1)
+               for i in range(2)]
+    # 6 steps on 2 random-batch samples is not enough for a monotonic
+    # decrease; the contract here is "trains without NaN/blowup" (the real
+    # convergence evidence is the TPU pretraining run's loss log).
+    _, _, occ_losses = pretrain_scone_occ(n_steps=6, samples=samples,
+                                          batch=2, verbose=False)
+    assert all(l == l and l < 10.0 for l in occ_losses)
+    _, _, vis_losses = pretrain_scone_vis(n_steps=6, samples=samples,
+                                          batch=2, verbose=False)
+    assert all(l == l and l < 100.0 for l in vis_losses)

@@ -43,8 +43,11 @@ def main():
     ap.add_argument("--ablate", default="",
                     help="comma list: coverage,plan,observe,moves,logic,rng")
     ap.add_argument("--segment", type=int, default=None,
-                    help="segment_len for chunked execution (the crash "
-                         "workaround under test)")
+                    help="segment_len. Default None = the production "
+                         "AUTO-segmentation (25-pose segments past 50 "
+                         "poses — the round-5 watchdog fix under test); "
+                         "pass 0 to force a MONOLITHIC program and "
+                         "reproduce the original duration crash")
     args = ap.parse_args()
 
     from nextbestpath_tpu.utils.jaxcache import enable_cache
