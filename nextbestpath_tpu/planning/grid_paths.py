@@ -180,11 +180,17 @@ def extract_path(dist: jnp.ndarray, blocked: jnp.ndarray,
     # check. The buffer is written circularly so only max_len slots exist.
     limit = jnp.where(reachable, goal_dist, 0)
 
-    def body(carry):
-        node, d, it, buf = carry
-        # Iteration it stores the node at distance goal_dist - it;
-        # circular slot (see re-order below).
-        buf = buf.at[it % max_len].set(node)
+    # Several backwalk steps per while trip (cf. bfs_distance_field's
+    # K_SWEEPS): each step is scalar-sized work, so loop-control overhead
+    # dominates on the latency-bound TPU plan branch. Steps past the limit
+    # are masked no-ops (their buffer write is dropped and the node/d carry
+    # freezes), so the walked path is identical.
+    K_STEPS = 4
+
+    def one_step(node, d, it, buf):
+        active = it < limit
+        slot = jnp.where(active, jnp.mod(it, max_len), max_len)
+        buf = buf.at[slot].set(node, mode="drop")
         best_node = node
         found = jnp.bool_(False)
         for k, (dl, dh) in enumerate(DIRS):
@@ -199,7 +205,15 @@ def extract_path(dist: jnp.ndarray, blocked: jnp.ndarray,
             good = ok_bounds & edge_ok & (pred_d == d - 1) & (~found) & (d > 0)
             best_node = jnp.where(good, jnp.stack([plc, phc]), best_node)
             found = found | good
-        return best_node, jnp.maximum(d - 1, 0), it + 1, buf
+        node = jnp.where(active, best_node, node)
+        d = jnp.where(active, jnp.maximum(d - 1, 0), d)
+        return node, d, it + 1, buf
+
+    def body(carry):
+        node, d, it, buf = carry
+        for _ in range(K_STEPS):
+            node, d, it, buf = one_step(node, d, it, buf)
+        return node, d, it, buf
 
     def cond(carry):
         _, _, it, _ = carry

@@ -356,12 +356,16 @@ def train_nbp(model: NBP, state: TrainState, db: ReplayDB,
     # the same "random" older entries and replay the same shuffle
     # permutations every outer epoch.
     rng = random.Random(seed)
-    if current_epoch == 1:
-        data = db.read_combined(last_n=None)
-    else:
-        # Bounded slice (newest 4608 + sampled 2048 older) so the staged
-        # device dataset fits HBM next to model/optimizer/activations.
-        data = db.read_combined(last_n=4608, sample_size=2048, rng=rng)
+    # Bounded slice (newest 4608 + sampled 2048 older) so the staged device
+    # dataset fits HBM next to model/optimizer/activations. This bound now
+    # applies to epoch 1 too: the reference's epoch-1 pass reads the ENTIRE
+    # replay DB (read_combined_data full scan, nbp_utils.py:101-141), but
+    # with 64-scene collection epochs that staged 16384 f16 slots = 10.7 GB
+    # of arguments plus a ~5 GB gather-relayout temp on a 15.75 GB chip —
+    # compile-time HBM OOM (round-5 diversity retrain, epoch 1). At the
+    # reference's own scale (a few scenes) the bound exceeds the whole DB,
+    # so behavior only changes where the unbounded read could not run.
+    data = db.read_combined(last_n=4608, sample_size=2048, rng=rng)
     sched = PlateauScheduler()
     lr = state.lr
     train_losses, val_losses = [], []

@@ -14,6 +14,15 @@ timeout 10800 python pretrain_scone.py both --domain interior \
   > /tmp/r5q/pre_interior.log 2>&1
 echo "pre_interior exit=$?"
 
+echo "=== [6a] interior warm start, NO online training (domain isolation)"
+timeout 7200 python tools/macarons_e2e.py \
+  --occ-ckpt weights/scone_pre_interior/scone_occ.ckpt \
+  --vis-ckpt weights/scone_pre_interior/scone_vis.ckpt \
+  --train-scenes 0 --save "" \
+  --out data/macarons_e2e_interior_pretrainonly.json \
+  > /tmp/r5q/e2e_interior_pre.log 2>&1
+echo "e2e_interior_pre exit=$?"
+
 echo "=== [6] MACARONS e2e with interior warm start"
 timeout 10800 python tools/macarons_e2e.py \
   --occ-ckpt weights/scone_pre_interior/scone_occ.ckpt \
