@@ -5,9 +5,12 @@ set -uo pipefail
 cd /root/repo
 mkdir -p /tmp/r5q data
 
-echo "=== [1] promotion gate: champion vs r5div best_auc (101 poses, offset 1)"
+echo "=== [1] promotion gate: champion vs r5div candidate (101 poses, offset 1)"
+CAND=weights/nbp/nbp_r5div_best_auc.ckpt
+[ -f "$CAND" ] || CAND=weights/nbp/nbp_r5div_best_val.ckpt
+echo "candidate: $CAND"
 timeout 5400 python tools/compare_ckpts.py \
-  --ckpt-b weights/nbp/nbp_r5div_best_auc.ckpt \
+  --ckpt-b "$CAND" \
   --poses 101 --scene-offset 1 --mode sequential \
   --out data/compare_ckpts_r5div_101off1.json \
   > /tmp/r5q/gate.log 2>&1
