@@ -241,13 +241,15 @@ def macarons_nbv_rollout(
         if oracle:
             # Non-TPU backends fall back to masked_min_dists, which requires
             # a chunk-divisible pts length — the default full_pc_capacity
-            # (2,000,000) is not 8192-divisible, so pick the chunk the same
-            # way _oracle_gains does.
+            # (2,000,000) is not 8192-divisible. Pick the largest divisor
+            # <= 8192 so the fallback neither trips the assert nor
+            # materializes a (G, capacity) distance matrix in one piece
+            # (chunk=capacity would allocate tens of GB on CPU).
             cap = int(pc.points.shape[0])
+            chunk = next(c for c in range(min(8192, cap), 0, -1)
+                         if cap % c == 0)
             covered_now = min_dists(gt, pc.points, pc.valid_mask(),
-                                    s_count=pc.count,
-                                    chunk=2048 if cap % 2048 == 0 else cap
-                                    ) < 1.0
+                                    s_count=pc.count, chunk=chunk) < 1.0
             gains = _oracle_gains(
                 tri_soa, n_tris, cand_pose5, gt, covered_now, next_key(),
                 intr, int(p.points_per_frame),

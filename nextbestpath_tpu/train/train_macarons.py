@@ -431,11 +431,47 @@ def train_macarons_online(
             jnp.asarray(scene["supervision_occ"][pi]), next_key())
         return float(loss)
 
-    def run_depth_memory_replay(rng_py):
+    # Staged-unfreeze guard state (depth_reject_factor > 0): recent
+    # accepted photometric losses + the last known-good (vars, opt)
+    # snapshot. Shared by the online depth step AND the memory-replay depth
+    # step — a replay update that bypassed the guard could poison the model
+    # inside the "frozen" window or be silently reverted by a later online
+    # rollback.
+    _depth_guard = {"photos": [], "snapshot": None}
+
+    def apply_depth_update(new_vars, new_opt, photo, pose_marker):
+        """Accept or reject a computed depth update.
+
+        ``photo`` is the loss at the PRE-update weights, so a spike means
+        earlier accepted updates (or a no-overlap rotation-heavy frame
+        whose photometric gradient is depth-independent garbage — the r3
+        bimodality) poisoned the model or the sample. On a spike: roll
+        back to the last good snapshot and discard this update; otherwise
+        snapshot the pre-update weights as known-good and accept.
+        Returns the float loss."""
+        photo_f = float(photo)
+        photos = _depth_guard["photos"]
+        good = bool(photos) and photo_f <= depth_reject_factor * float(
+            np.median(photos[-10:]))
+        if depth_reject_factor <= 0 or not photos or good:
+            if depth_reject_factor > 0:
+                _depth_guard["snapshot"] = (state.model.depth_vars,
+                                            state.depth_opt_state)
+                photos.append(photo_f)
+            state.model.depth_vars = new_vars
+            state.depth_opt_state = new_opt
+        elif _depth_guard["snapshot"] is not None:
+            state.model.depth_vars, state.depth_opt_state = \
+                _depth_guard["snapshot"]
+            logs.setdefault("depth_rejected_poses", []).append(pose_marker)
+        return photo_f
+
+    def run_depth_memory_replay(rng_py, pose_marker):
         """memory_loop analog (train_macarons.py:582-607): a consecutive
         4-frame RGB window from a NON-current trajectory re-trains ManyDepth
         with the same photometric step as the online path (target = frame 2,
-        alphas [-1, -2, +1] = frames 1, 0, 3)."""
+        alphas [-1, -2, +1] = frames 1, 0, 3). Updates flow through the
+        same staged-unfreeze guard as the online step."""
         frames = memory.random_replay_frames(scene_memory_path, 4,
                                              rng=rng_py)
         if len(frames) < 4 or "rgb" not in frames[0]:
@@ -450,13 +486,12 @@ def train_macarons_online(
                          for f in alphas])
         T_a = jnp.stack([jnp.asarray(f["T"], jnp.float32).reshape(3)
                          for f in alphas])
-        (state.model.depth_vars, state.depth_opt_state, photo,
-         _) = depth_step(
+        new_vars, new_opt, photo, _ = depth_step(
             state.model.depth_vars, state.depth_opt_state, img(tgt),
             jnp.asarray(tgt["R"], jnp.float32).reshape(3, 3),
             jnp.asarray(tgt["T"], jnp.float32).reshape(3),
             x_alpha, R_a, T_a, next_key())
-        return float(photo)
+        return apply_depth_update(new_vars, new_opt, photo, pose_marker)
 
     mem_rng = _pyrandom.Random(seed + 17)
     frame_nb = 0
@@ -486,11 +521,6 @@ def train_macarons_online(
         float(3.0 * proxy.distance_between_points),
         float(2.0 * jnp.linalg.norm(sx_max - sx_min)),
     )
-    # Staged-unfreeze guard state (depth_reject_factor > 0): recent accepted
-    # photometric losses + the last known-good (vars, opt) snapshot.
-    deque_photos: List[float] = []
-    depth_snapshot = None
-
     for pose_i in range(n_poses):
         cov = float(coverage_percentage(gt, pc.points, pc.count, next_key()))
         logs["coverage"].append(cov)
@@ -532,29 +562,10 @@ def train_macarons_online(
                 state.model.depth_vars, state.depth_opt_state,
                 frame_hist[-2][0], frame_hist[-2][1], frame_hist[-2][2],
                 x_alpha, R_a, T_a, next_key())
-            photo_f = float(photo)
             # Loss-spike rejection (staged-unfreeze recipe, VERDICT r4
-            # item 4): ``photo`` is evaluated at the PRE-update weights, so
-            # a spike means earlier accepted updates (or a no-overlap
-            # rotation-heavy frame whose photometric gradient is
-            # depth-independent garbage — the r3 bimodality) poisoned the
-            # model or the sample. On a spike: roll back to the last good
-            # snapshot and discard this update; otherwise snapshot the
-            # pre-update weights as known-good and accept.
-            good = deque_photos and photo_f <= depth_reject_factor * float(
-                np.median(deque_photos[-10:]))
-            if depth_reject_factor <= 0 or not deque_photos or good:
-                if depth_reject_factor > 0:
-                    depth_snapshot = (state.model.depth_vars,
-                                      state.depth_opt_state)
-                    deque_photos.append(photo_f)
-                state.model.depth_vars = new_vars
-                state.depth_opt_state = new_opt
-            elif depth_snapshot is not None:
-                state.model.depth_vars, state.depth_opt_state = \
-                    depth_snapshot
-                logs.setdefault("depth_rejected_poses", []).append(pose_i)
-            logs["depth_loss"].append(photo_f)
+            # item 4) — accept/rollback logic in apply_depth_update.
+            logs["depth_loss"].append(
+                apply_depth_update(new_vars, new_opt, photo, pose_i))
         if not use_perfect_depth and have_context:
             # Backproject through the PREDICTED depth (apply_depth_model,
             # macarons_utils.py:1089-1289) instead of the rendered zbuf.
@@ -598,8 +609,10 @@ def train_macarons_online(
                 rl = run_memory_replay(mem_rng)
                 if rl is not None:
                     logs["replay_occ_loss"].append(rl)
-                if learn_depth:
-                    dl_r = run_depth_memory_replay(mem_rng)
+                # Replay depth updates respect the same freeze window as
+                # the online step (and the shared rejection guard above).
+                if learn_depth and pose_i >= unfreeze_depth_after:
+                    dl_r = run_depth_memory_replay(mem_rng, pose_i)
                     if dl_r is not None:
                         logs["replay_depth_loss"].append(dl_r)
 

@@ -44,13 +44,33 @@ from nextbestpath_tpu.utils.jaxcache import enable_cache  # noqa: E402
 enable_cache()
 
 
+def _avg_ranks(x):
+    """Average-rank (scipy rankdata 'average') — positional tie-breaking
+    would make the zero-inflated suffix-gain labels (many exact 0.0 ties)
+    read as spuriously high or low rank agreement depending on iteration
+    order."""
+    import numpy as np
+
+    order = np.argsort(x, kind="stable")
+    xs = np.asarray(x)[order]
+    ranks = np.empty(len(x), np.float64)
+    i = 0
+    while i < len(xs):
+        j = i
+        while j + 1 < len(xs) and xs[j + 1] == xs[i]:
+            j += 1
+        ranks[order[i:j + 1]] = (i + j) / 2.0
+        i = j + 1
+    return ranks
+
+
 def spearman(a, b):
     import numpy as np
 
     if len(a) < 3:
         return float("nan")
-    ra = np.argsort(np.argsort(a))
-    rb = np.argsort(np.argsort(b))
+    ra = _avg_ranks(a)
+    rb = _avg_ranks(b)
     ra = ra - ra.mean()
     rb = rb - rb.mean()
     denom = np.sqrt((ra ** 2).sum() * (rb ** 2).sum())
